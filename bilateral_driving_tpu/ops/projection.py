@@ -1,0 +1,133 @@
+"""3D -> 2D Gaussian projection (EWA splatting), pure JAX.
+
+TPU-native replacement for gsplat's `fully_fused_projection` CUDA kernel
+(invoked via `rasterization` at reference project/models/trainers/base.py:393-408):
+world->camera transform, perspective EWA covariance, eigenvalue radii, and
+frustum/near-far/radius_clip culling. Culling is expressed as a `valid` mask
+instead of stream compaction so all shapes stay static for XLA; autodiff
+provides the backward pass (the math is all elementwise/3x3 matmuls, which XLA
+fuses — a hand-written kernel buys nothing here, the hot loop is rasterization).
+
+Semantics follow gsplat v1.3.0 "classic"/"antialiased" modes:
+  * frustum-clamped perspective Jacobian with lim = 1.3 * tan(fov/2)
+  * eps2d = 0.3 pixel dilation on the 2D covariance diagonal
+  * antialiased mode scales opacity by sqrt(det(cov2d)/det(cov2d + eps2d I))
+  * radius = ceil(3 * sqrt(max eigenvalue)), culled if <= radius_clip or
+    the 2D AABB misses the image
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+EPS2D = 0.3
+
+
+class Projected(NamedTuple):
+    means2d: jax.Array       # (N, 2) pixel coordinates
+    conics: jax.Array        # (N, 3) upper-tri of inverse 2D covariance (a, b, c)
+    depths: jax.Array        # (N,) camera-space z
+    radii: jax.Array         # (N,) int32 pixel radii, 0 if culled
+    compensations: jax.Array  # (N,) antialiasing opacity compensation (1 if classic)
+    valid: jax.Array         # (N,) bool
+
+
+def project(
+    means: jax.Array,
+    quats: jax.Array,
+    scales: jax.Array,
+    viewmat: jax.Array,
+    K: jax.Array,
+    width: int,
+    height: int,
+    *,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    radius_clip: float = 0.0,
+    antialiased: bool = False,
+    eps2d: float = EPS2D,
+) -> Projected:
+    from ..core import transforms
+
+    R = viewmat[:3, :3]
+    t = viewmat[:3, 3]
+    mean_c = means @ R.T + t                      # (N, 3)
+    z = mean_c[..., 2]
+
+    # 3D covariance in camera frame: R_cam (R_q S) (R_q S)^T R_cam^T
+    R_q = transforms.quat_to_rotmat(quats)        # (N, 3, 3)
+    M = R @ (R_q * scales[..., None, :])          # (N, 3, 3) = R_cam R_q S
+    cov_c = M @ M.swapaxes(-1, -2)
+
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    rz = 1.0 / zs
+
+    # frustum-clamped point for the Jacobian (gsplat persp_proj)
+    tan_fov_x = 0.5 * width / fx
+    tan_fov_y = 0.5 * height / fy
+    lim_x = 1.3 * tan_fov_x
+    lim_y = 1.3 * tan_fov_y
+    tx = zs * jnp.clip(mean_c[..., 0] * rz, -lim_x, lim_x)
+    ty = zs * jnp.clip(mean_c[..., 1] * rz, -lim_y, lim_y)
+
+    rz2 = rz * rz
+    # J = [[fx/z, 0, -fx tx / z^2], [0, fy/z, -fy ty / z^2]]
+    j00 = fx * rz
+    j02 = -fx * tx * rz2
+    j11 = fy * rz
+    j12 = -fy * ty * rz2
+
+    # cov2d = J cov_c J^T, expanded (avoids materializing (N, 2, 3) matmuls
+    # as generic dots — XLA fuses this elementwise form well)
+    c00, c01, c02 = cov_c[..., 0, 0], cov_c[..., 0, 1], cov_c[..., 0, 2]
+    c11, c12, c22 = cov_c[..., 1, 1], cov_c[..., 1, 2], cov_c[..., 2, 2]
+    a = j00 * j00 * c00 + 2.0 * j00 * j02 * c02 + j02 * j02 * c22
+    b = j00 * j11 * c01 + j00 * j12 * c02 + j02 * j11 * c12 + j02 * j12 * c22
+    c = j11 * j11 * c11 + 2.0 * j11 * j12 * c12 + j12 * j12 * c22
+
+    det_orig = a * c - b * b
+    a_bl = a + eps2d
+    c_bl = c + eps2d
+    det = a_bl * c_bl - b * b
+    det_safe = jnp.where(det <= 0.0, 1.0, det)
+
+    if antialiased:
+        compensations = jnp.sqrt(jnp.maximum(det_orig / det_safe, 0.0))
+    else:
+        compensations = jnp.ones_like(det)
+
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack([c_bl * inv_det, -b * inv_det, a_bl * inv_det], axis=-1)
+
+    # radii from eigenvalues of blurred cov2d
+    b_mid = 0.5 * (a_bl + c_bl)
+    disc = jnp.sqrt(jnp.maximum(b_mid * b_mid - det, 0.01))
+    v1 = b_mid + disc
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(v1, 0.0)))
+
+    means2d = jnp.stack(
+        [fx * mean_c[..., 0] * rz + cx, fy * mean_c[..., 1] * rz + cy], axis=-1
+    )
+
+    valid = (
+        (z > near_plane)
+        & (z < far_plane)
+        & (det > 0.0)
+        & (radius > radius_clip)
+        & (means2d[..., 0] + radius > 0)
+        & (means2d[..., 0] - radius < width)
+        & (means2d[..., 1] + radius > 0)
+        & (means2d[..., 1] - radius < height)
+    )
+    radii = jnp.where(valid, radius, 0.0).astype(jnp.int32)
+    return Projected(
+        means2d=means2d,
+        conics=conic,
+        depths=z,
+        radii=radii,
+        compensations=compensations,
+        valid=valid,
+    )

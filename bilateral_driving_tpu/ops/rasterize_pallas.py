@@ -1,0 +1,343 @@
+"""Pallas TPU tile rasterizer: alpha compositing as MXU matmuls.
+
+TPU-native replacement for gsplat's `rasterize_to_pixels` forward/backward
+CUDA kernels (reference pipeline: SURVEY.md §3.3). The CUDA design — one
+thread per pixel, sequential front-to-back loop with early termination and
+atomic gradient scatters — maps terribly onto a TPU. This kernel re-derives
+compositing as dense linear algebra so both passes run on the MXU:
+
+  * One grid program per 32×32 pixel tile; the tile's 1024 pixels live as one
+    (8, 128) VPU block.
+  * The depth-sorted intersection list of the tile (built by ops/binning.py,
+    chunk-aligned) is streamed from HBM in double-buffered chunks of
+    CHUNK=128 intersections.
+  * The Gaussian log-density is a quadratic in pixel coords, so evaluating a
+    chunk is a (128, 8) @ (8, 1024) matmul of per-intersection quadratic
+    coefficients against a fixed pixel-monomial basis [x², y², xy, x, y, 1].
+    Coefficients are built against the *tile-local* origin (outside, in
+    ops/pipeline.py) so f32 never sees catastrophic cancellation.
+  * Front-to-back transmittance is a prefix-sum of log(1-α): a strictly
+    lower-triangular (128, 128) @ (128, 1024) matmul in log space.
+  * Color/depth/alpha accumulation is colorsᵀ (8, 128) @ w (128, 1024).
+  * Backward needs suffix sums of downstream contributions — the transposed
+    strictly *upper*-triangular matmul — plus per-intersection gradients that
+    are written to disjoint chunk-aligned slots: **no atomics anywhere**; the
+    caller segment-sums per-intersection gradients to Gaussians via the VJP
+    of the feature gather.
+  * Early termination is a per-chunk skip (`pl.when`) once max transmittance
+    in the tile falls below 1e-4, matching gsplat's per-pixel cutoff in
+    effect while keeping control flow compile-time static.
+
+Feature row layout (16 f32 per intersection), built by ops/pipeline.py:
+  [0:6]  quadratic coeffs matching basis rows [x², y², xy, x, y, 1]
+  [6:8]  zero padding (so the basis matmul contracts over 8 lanes)
+  [8]    opacity (compensation already folded in)
+  [9:14] composited channels [r, g, b, depth, 1]  (the trailing 1 makes the
+         same matmul accumulate the alpha channel)
+  [14:16] zero padding
+
+Output layout: (num_tiles, 8, 8, 128) f32 — channels [r, g, b, depth, alpha,
+0, 0, 0] over the flattened 1024-pixel tile (pixel p = py*32+px ↦ (p//128,
+p%128)).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import CHUNK, TILE
+
+C_PAD = 8            # padded channel count in the output
+FEAT = 16            # feature row width
+MAX_BWD_CHUNKS = 512  # transmittance checkpoint depth in backward (64k isects/tile)
+STOP_T = 1e-4        # early-termination transmittance threshold
+ALPHA_THRESH = 1.0 / 255.0
+MAX_ALPHA = 0.999
+_PIX = TILE * TILE   # 1024
+
+
+def _pixel_basis():
+    """(8, 1024) tile-local monomial basis [x², y², xy, x, y, 1, 0, 0]."""
+    flat = jax.lax.broadcasted_iota(jnp.float32, (1, _PIX), 1)
+    px = jnp.mod(flat, TILE) + 0.5
+    py = jnp.floor(flat / TILE) + 0.5
+    one = jnp.ones_like(px)
+    zero = jnp.zeros_like(px)
+    return jnp.concatenate(
+        [px * px, py * py, px * py, px, py, one, zero, zero], axis=0
+    )
+
+
+def _tri(strict_lower: bool):
+    """(CHUNK, CHUNK) strictly-triangular 0/1 matrix."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (j < i if strict_lower else j > i).astype(jnp.float32)
+
+
+def _dot(a, b, contract=((1,), (0,))):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(contract, ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _chunk_alphas(chunkf, basis):
+    """Shared alpha math: returns (sigma_exp, alpha, log1m_alpha)."""
+    coef = chunkf[:, 0:8]                                  # (CHUNK, 8)
+    sigma = _dot(coef, basis)                              # (CHUNK, PIX)
+    sigma_exp = jnp.exp(-sigma)
+    op = chunkf[:, 8:9]                                    # (CHUNK, 1)
+    alpha = jnp.minimum(op * sigma_exp, MAX_ALPHA)
+    alpha = jnp.where(alpha >= ALPHA_THRESH, alpha, 0.0)
+    return sigma_exp, alpha, jnp.log1p(-alpha)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(starts_ref, chunks_ref, feats_hbm, out_ref,
+                acc, tc, buf, sem):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    nchunks = chunks_ref[t]
+
+    acc[...] = jnp.zeros_like(acc)
+    tc[...] = jnp.ones_like(tc)
+
+    basis = _pixel_basis()
+    ltri = _tri(strict_lower=True)
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            buf.at[slot], sem.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(c, _):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            dma(1 - slot, c + 1).start()
+
+        dma(slot, c).wait()
+
+        alive = jnp.max(tc[...]) > STOP_T
+
+        @pl.when(alive)
+        def _():
+            chunkf = buf[slot]                              # (CHUNK, FEAT)
+            _, alpha, l1m = _chunk_alphas(chunkf, basis)
+            s_excl = _dot(ltri, l1m)                        # (CHUNK, PIX)
+            trans = jnp.exp(s_excl) * tc[...]               # bcast (1, PIX)
+            w = alpha * trans
+            colors = chunkf[:, 8:16]                        # (CHUNK, 8)
+            # cols [8..16) = [op, r, g, b, depth, 1, 0, 0]; contract over
+            # CHUNK: acc[ch] += sum_k colors[k, ch] * w[k, p]
+            acc[...] += _dot(colors, w, contract=((0,), (0,)))
+            tc[...] *= jnp.exp(s_excl[CHUNK - 1:CHUNK, :] + l1m[CHUNK - 1:CHUNK, :])
+
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+    # acc rows: [op-weighted (unused), r, g, b, depth, alpha, 0, 0] — shift so
+    # the output channel layout is [r, g, b, depth, alpha, 0, 0, 0].
+    out = jnp.concatenate([acc[1:8, :], jnp.zeros((1, _PIX), jnp.float32)], axis=0)
+    out_ref[0] = out.reshape(C_PAD, _PIX // 128, 128)
+
+
+def rasterize_fwd(feats, tile_starts, tile_chunks, n_tiles, *, interpret=False):
+    """feats: (M_aligned + CHUNK, FEAT) f32. Returns (n_tiles, 8, 8, 128)."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, C_PAD, _PIX // 128, 128), lambda t, *_: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((C_PAD, _PIX), jnp.float32),   # acc
+            pltpu.VMEM((1, _PIX), jnp.float32),       # transmittance carry
+            pltpu.VMEM((2, CHUNK, FEAT), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, C_PAD, _PIX // 128, 128),
+                                       jnp.float32),
+        interpret=interpret,
+    )(tile_starts, tile_chunks, feats)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(starts_ref, chunks_ref, feats_hbm, gout_ref, dfeats_hbm,
+                tc_store, carry, buf, dbuf, sem, wsem):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    nchunks = jnp.minimum(chunks_ref[t], MAX_BWD_CHUNKS)
+
+    basis = _pixel_basis()
+    ltri = _tri(strict_lower=True)
+    utri = _tri(strict_lower=False)
+    g = gout_ref[0].reshape(C_PAD, _PIX)                    # [r,g,b,d,alpha,0,0,0]
+    # pad channel cotangent to 8 rows aligned with feature cols [8..16):
+    # row 0 pairs with opacity col (no contribution), rows 1..5 with
+    # [r,g,b,depth,1]-channel outputs.
+    g8 = jnp.concatenate([jnp.zeros((1, _PIX), jnp.float32), g[0:5, :],
+                          jnp.zeros((2, _PIX), jnp.float32)], axis=0)
+
+    def dma_in(slot, c):
+        return pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            buf.at[slot], sem.at[slot],
+        )
+
+    def dma_out(slot, c):
+        return pltpu.make_async_copy(
+            dbuf.at[slot],
+            dfeats_hbm.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            wsem.at[slot],
+        )
+
+    # ---- pass 1: forward sweep, checkpoint per-chunk entry transmittance ----
+    carry[...] = jnp.ones_like(carry)
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma_in(0, 0).start()
+
+    def fwd_body(c, _):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            dma_in(1 - slot, c + 1).start()
+
+        dma_in(slot, c).wait()
+        tc_store[pl.ds(c, 1), :] = carry[...]
+
+        @pl.when(jnp.max(carry[...]) > STOP_T)
+        def _():
+            _, _, l1m = _chunk_alphas(buf[slot], basis)
+            total = _dot(jnp.ones((1, CHUNK), jnp.float32), l1m)
+            carry[...] *= jnp.exp(total)
+
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, fwd_body, 0)
+
+    # ---- pass 2: reverse sweep with downstream-contribution carry R ----
+    carry[...] = jnp.zeros_like(carry)   # reused as R = Σ_later w·G
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma_in(0, nchunks - 1).start()
+
+    def bwd_body(ci, _):
+        c = nchunks - 1 - ci
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < nchunks)
+        def _():
+            dma_in(1 - slot, c - 1).start()
+
+        dma_in(slot, c).wait()
+        # wait for the write issued two iterations ago on this slot
+        @pl.when(ci >= 2)
+        def _():
+            dma_out(slot, c + 2).wait()
+
+        chunkf = buf[slot]
+        sigma_exp, alpha, l1m = _chunk_alphas(chunkf, basis)
+        tc_in = tc_store[pl.ds(c, 1), :]
+        s_excl = _dot(ltri, l1m)
+        trans = jnp.exp(s_excl) * tc_in
+        w = alpha * trans
+
+        colors = chunkf[:, 8:16]
+        # G[k, p] = Σ_ch colors[k, ch] * g8[ch, p]: per-intersection-pixel
+        # cotangent of the compositing weight w[k, p]
+        G = _dot(colors, g8)
+        wG = w * G
+        suffix = _dot(utri, wG) + carry[...]
+        # gradient of loss wrt alpha_k (pre-gating)
+        one_m = jnp.maximum(1.0 - alpha, 1.0 - MAX_ALPHA)
+        d_alpha = trans * G - suffix / one_m
+        # gate: no gradient where alpha clamped at MAX_ALPHA or zeroed
+        gate = (alpha > 0.0) & (alpha < MAX_ALPHA)
+        d_alpha = jnp.where(gate, d_alpha, 0.0)
+
+        d_op = _dot(sigma_exp * d_alpha, jnp.ones((_PIX, 1), jnp.float32))
+        d_sigma = -(alpha * d_alpha)
+        d_coef = _dot(d_sigma, basis, contract=((1,), (1,)))  # (CHUNK, 8)
+        d_colors = _dot(w, g8, contract=((1,), (1,)))         # (CHUNK, 8)
+        # d_colors col 0 pairs with the opacity feature column -> replace
+        # with the true opacity gradient; cols 6..8 are padding (zeros in g8).
+        d_tail = jnp.concatenate([d_op, d_colors[:, 1:8]], axis=1)
+
+        dbuf[slot] = jnp.concatenate([d_coef, d_tail], axis=1)
+        dma_out(slot, c).start()
+
+        carry[...] += _dot(jnp.ones((1, CHUNK), jnp.float32), wG)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, bwd_body, 0)
+
+    # drain outstanding writes
+    @pl.when(nchunks >= 2)
+    def _():
+        dma_out(jax.lax.rem(nchunks - 2, 2), 1).wait()
+
+    @pl.when(nchunks >= 1)
+    def _():
+        dma_out(jax.lax.rem(nchunks - 1, 2), 0).wait()
+
+
+def rasterize_bwd(feats, tile_starts, tile_chunks, gout, n_tiles, *,
+                  interpret=False):
+    """Returns d_feats with the same shape as feats. Chunk-aligned slots not
+    covered by any tile keep whatever was in memory — they map to the dummy
+    Gaussian row and are dropped by the caller's segment-sum."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, C_PAD, _PIX // 128, 128), lambda t, *_: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((MAX_BWD_CHUNKS, _PIX), jnp.float32),  # tc checkpoints
+            pltpu.VMEM((1, _PIX), jnp.float32),               # carry (Tc / R)
+            pltpu.VMEM((2, CHUNK, FEAT), jnp.float32),        # read buffers
+            pltpu.VMEM((2, CHUNK, FEAT), jnp.float32),        # write buffers
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(feats.shape, jnp.float32),
+        interpret=interpret,
+    )(tile_starts, tile_chunks, feats, gout)
