@@ -3,23 +3,27 @@
 TPU-native replacement for gsplat's `isect_tiles` + radix sort +
 `isect_offset_encode` CUDA kernels (reference call stack SURVEY.md §3.3). The
 CUDA version compacts variable-length per-Gaussian tile lists with atomics;
-here everything is static-shaped and sort-based, which is what XLA wants:
+here everything is static-shaped and sort/scan-based, which is what XLA wants:
 
   1. per-Gaussian tile span from the projected center/radius;
-  2. intersection m in a static `isect_capacity` buffer finds its Gaussian by
-     binary search over the exclusive-cumsum of span sizes (a gather, not a
-     scatter — no atomics, fully parallel);
+  2. intersection m in a static `isect_capacity` buffer finds its Gaussian via
+     scatter-max of Gaussian ids at their cumsum offsets + a cummax fill (the
+     vectorized inverse of searchsorted — binary-search gathers serialize on
+     TPU, this is one scatter + one prefix pass);
   3. one `lax.sort` over (tile_id, depth) lexicographic keys;
-  4. per-tile ranges by binary search, then a *chunk-aligned relayout*: each
-     tile's list is placed at a CHUNK-multiple offset so the Pallas rasterizer
-     can DMA fixed-size chunks that never straddle two tiles, and its backward
-     can write per-intersection gradients without masked stores. Padding
-     entries point at a dummy Gaussian slot (id = N) whose features are zero,
-     so they contribute nothing to forward or backward.
+  4. a *chunk-aligned relayout*: each tile's list is placed at a
+     CHUNK-multiple offset so the Pallas rasterizer can DMA fixed-size chunks
+     that never straddle two tiles, and its backward can write
+     per-intersection gradients without masked stores. The relayout is a
+     single unique-index scatter (dest = m + cummax-filled pad delta), not a
+     gather — per-entry table gathers are the dominant cost on TPU and are
+     avoided throughout (one packed row-gather per expansion is the only one
+     left). Padding entries point at a dummy Gaussian slot (id = N) whose
+     opacity is zero, so they contribute nothing to forward or backward.
 
-The whole pass is integer/gather work of O(capacity log N); it is not
-differentiable and is wrapped in stop_gradient by the pipeline (gradients flow
-through the *gathered feature values*, not the indices — same as gsplat).
+The whole pass is integer/scan work of O(capacity); it is not differentiable
+and is wrapped in stop_gradient by the pipeline (gradients flow through the
+*gathered feature values*, not the indices — same as gsplat).
 """
 from __future__ import annotations
 
@@ -38,12 +42,23 @@ def num_tiles(width: int, height: int) -> tuple[int, int]:
 
 class Intersections(NamedTuple):
     gauss_ids: jax.Array    # (M_aligned,) int32 in [0, N]; N = dummy padding
-    isect_tile: jax.Array   # (M_aligned,) int32 owning tile id (clamped)
+    isect_tile: jax.Array   # (M_aligned,) int32 owning tile id (0 for padding)
     tile_counts: jax.Array  # (nT,) int32 true intersection count per tile
     tile_chunks: jax.Array  # (nT,) int32 number of CHUNK-chunks per tile
     tile_starts: jax.Array  # (nT,) int32 chunk-aligned start offsets
     num_isects: jax.Array   # () int32 total true intersections (pre-alignment)
     overflow: jax.Array     # () bool: isect_capacity exceeded (render truncated)
+
+
+def _fill_monotone(values_at, positions, size):
+    """Segment-fill: out[m] = values_at[i] for the largest positions[i] <= m.
+
+    Requires `values_at` non-decreasing in scatter order (cummax semantics).
+    One scatter-max + one cummax — the fast TPU substitute for
+    `values[searchsorted(positions, m)]`.
+    """
+    base = jnp.zeros((size,), jnp.int32).at[positions].max(values_at, mode="drop")
+    return jax.lax.cummax(base)
 
 
 def bin_gaussians(
@@ -70,7 +85,7 @@ def bin_gaussians(
     span_h = ty1 - ty0
     counts = jnp.where(valid & (radii > 0), span_w * span_h, 0)
 
-    # ---- 2. expand to intersection entries via searchsorted (gather) ----
+    # ---- 2. expand to intersection entries ----
     offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
     )  # (N+1,)
@@ -78,45 +93,59 @@ def bin_gaussians(
     overflow = m_total > isect_capacity
 
     m_idx = jnp.arange(isect_capacity, dtype=jnp.int32)
-    g = jnp.searchsorted(offsets, m_idx, side="right").astype(jnp.int32) - 1
-    g = jnp.clip(g, 0, n - 1)
+    g = _fill_monotone(jnp.arange(n, dtype=jnp.int32), offsets[:-1],
+                       isect_capacity)
     entry_valid = m_idx < m_total
-    k = m_idx - offsets[g]
-    sw = jnp.maximum(span_w[g], 1)
-    ty = ty0[g] + k // sw
-    tx = tx0[g] + k % sw
-    tile = ty * ntx + tx
-    tile = jnp.where(entry_valid, tile, n_tiles)  # invalid sorts to the end
-    depth_key = jnp.where(entry_valid, depths[g], jnp.inf)
+
+    # one packed row-gather for everything the entry needs (5 separate 1-D
+    # gathers cost ~2x more than one (N, 4) row gather on TPU)
+    table = jnp.stack(
+        [tx0.astype(jnp.float32), ty0.astype(jnp.float32),
+         span_w.astype(jnp.float32), depths], axis=1)
+    gt = table[g]
+    g_tx0 = gt[:, 0].astype(jnp.int32)
+    g_ty0 = gt[:, 1].astype(jnp.int32)
+    g_sw = jnp.maximum(gt[:, 2].astype(jnp.int32), 1)
+
+    start_fill = _fill_monotone(offsets[:-1], offsets[:-1], isect_capacity)
+    k = m_idx - start_fill
+    ty = g_ty0 + k // g_sw
+    tx = g_tx0 + k % g_sw
+    tile = jnp.where(entry_valid, ty * ntx + tx, n_tiles)
+    depth_key = jnp.where(entry_valid, gt[:, 3], jnp.inf)
 
     # ---- 3. lexicographic sort by (tile, depth) ----
     tile_s, _, gid_s = jax.lax.sort(
         (tile, depth_key, g), dimension=0, num_keys=2, is_stable=False
     )
 
-    # ---- 4. per-tile ranges + chunk-aligned relayout ----
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(tile_s, tile_ids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(tile_s, tile_ids, side="right").astype(jnp.int32)
+    # ---- 4. per-tile ranges ----
+    m_total_c = jnp.minimum(m_total, isect_capacity)
+    first = jnp.full((n_tiles + 1,), m_total_c, jnp.int32).at[tile_s].min(
+        m_idx, mode="drop")
+    starts = jax.lax.cummin(first[::-1])[::-1][:-1]
+    ends = jnp.concatenate([starts[1:], m_total_c[None]])
     cnt = ends - starts
     chunks = -(-cnt // CHUNK)
-    aligned = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(chunks * CHUNK).astype(jnp.int32)]
+    aligned_starts = CHUNK * jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(chunks).astype(jnp.int32)[:-1]]
     )
-    aligned_starts = aligned[:-1]
 
+    # ---- 5. chunk-aligned relayout as a unique-index scatter ----
+    # dest[m] = m + (aligned_start - start) of my tile; the pad delta is
+    # non-decreasing over tiles, so a cummax segment-fill at tile starts
+    # reproduces it per entry without a gather.
     m_aligned_cap = isect_capacity + n_tiles * CHUNK
-    ma = jnp.arange(m_aligned_cap, dtype=jnp.int32)
-    t_of = jnp.searchsorted(aligned, ma, side="right").astype(jnp.int32) - 1
-    t_of = jnp.clip(t_of, 0, n_tiles - 1)
-    local = ma - aligned_starts[t_of]
-    src = starts[t_of] + local
-    ok = local < cnt[t_of]
-    gid_aligned = jnp.where(ok, gid_s[jnp.clip(src, 0, isect_capacity - 1)], n)
+    pad_delta = _fill_monotone(aligned_starts - starts, starts, isect_capacity)
+    dest = jnp.where(entry_valid, m_idx + pad_delta, m_aligned_cap)
+    gid_aligned = jnp.full((m_aligned_cap,), n, jnp.int32).at[dest].set(
+        gid_s, mode="drop")
+    tile_aligned = jnp.zeros((m_aligned_cap,), jnp.int32).at[dest].set(
+        tile_s, mode="drop")
 
     return Intersections(
         gauss_ids=gid_aligned,
-        isect_tile=t_of,
+        isect_tile=tile_aligned,
         tile_counts=cnt,
         tile_chunks=chunks,
         tile_starts=aligned_starts,

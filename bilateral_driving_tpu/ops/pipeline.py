@@ -146,23 +146,32 @@ def rasterize(
     mx = m2d[:, 0] - ox
     my = m2d[:, 1] - oy
     a, b, c = gf[:, 2], gf[:, 3], gf[:, 4]
-    coef = jnp.stack(
+    # σ′ = σ − log(opacity): α = exp(-σ′) needs no separate opacity feature,
+    # and d(opacity) falls out of this line's autodiff.
+    log_op = jnp.log(jnp.maximum(gf[:, 5], 1e-12))
+    m_al = gid.shape[0]
+    zeros = jnp.zeros((m_al,), means.dtype)
+    feats = jnp.stack(
         [
             0.5 * a,
             0.5 * c,
             b,
             -(a * mx + b * my),
             -(c * my + b * mx),
-            0.5 * a * mx * mx + 0.5 * c * my * my + b * mx * my,
+            0.5 * a * mx * mx + 0.5 * c * my * my + b * mx * my - log_op,
+            zeros,
+            zeros,
+            gf[:, 6],                       # r
+            gf[:, 7],                       # g
+            gf[:, 8],                       # b
+            gf[:, 9],                       # depth
+            jnp.ones((m_al,), means.dtype),  # alpha-accumulator channel
+            zeros,
+            zeros,
+            zeros,
         ],
-        axis=1,
-    )
-    m_al = gid.shape[0]
-    zeros2 = jnp.zeros((m_al, 2), coef.dtype)
-    feats = jnp.concatenate(
-        [coef, zeros2, gf[:, 5:10], jnp.ones((m_al, 1), coef.dtype), zeros2],
-        axis=1,
-    )  # (M_aligned, 16): [coef(6), pad(2), op, r, g, b, depth, 1, pad(2)]
+        axis=0,
+    )  # (16, M_aligned) structure-of-arrays, see rasterize_pallas docstring
 
     n_tiles_total = ntx * num_tiles(width, height)[1]
     out = _render_tiles(feats, isect.tile_starts, isect.tile_chunks,

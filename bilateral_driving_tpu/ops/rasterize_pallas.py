@@ -10,39 +10,42 @@ compositing as dense linear algebra so both passes run on the MXU:
     (8, 128) VPU block.
   * The depth-sorted intersection list of the tile (built by ops/binning.py,
     chunk-aligned) is streamed from HBM in double-buffered chunks of
-    CHUNK=128 intersections.
-  * The Gaussian log-density is a quadratic in pixel coords, so evaluating a
-    chunk is a (128, 8) @ (8, 1024) matmul of per-intersection quadratic
-    coefficients against a fixed pixel-monomial basis [x², y², xy, x, y, 1].
-    Coefficients are built against the *tile-local* origin (outside, in
-    ops/pipeline.py) so f32 never sees catastrophic cancellation.
+    CHUNK=128 intersections. Features are stored structure-of-arrays,
+    (16, M): chunk DMA slices the 128-aligned M axis, which is the only
+    HBM slicing Mosaic allows, and every in-kernel operand arrives already
+    transposed for the MXU.
+  * α = exp(-σ′) where σ′ = ½ dᵀΣ⁻¹d − log(opacity) is a quadratic in pixel
+    coords, so evaluating a chunk is one (128, 8) @ (8, 1024) matmul of
+    per-intersection quadratic coefficients against a fixed pixel-monomial
+    basis [x², y², xy, x, y, 1] (log-opacity folded into the constant term;
+    its gradient falls out of the coefficient construction's autodiff in
+    ops/pipeline.py). Coefficients are built against the *tile-local* origin
+    so f32 never sees catastrophic cancellation.
   * Front-to-back transmittance is a prefix-sum of log(1-α): a strictly
     lower-triangular (128, 128) @ (128, 1024) matmul in log space.
-  * Color/depth/alpha accumulation is colorsᵀ (8, 128) @ w (128, 1024).
-  * Backward needs suffix sums of downstream contributions — the transposed
-    strictly *upper*-triangular matmul — plus per-intersection gradients that
-    are written to disjoint chunk-aligned slots: **no atomics anywhere**; the
-    caller segment-sums per-intersection gradients to Gaussians via the VJP
-    of the feature gather.
+  * Channel accumulation is colorsᵀ (8, 128) @ w (128, 1024) — the constant
+    "1" channel makes the same matmul produce the alpha image.
+  * Backward needs suffix sums of downstream contributions — the strictly
+    *upper*-triangular matmul — plus per-intersection gradients written to
+    disjoint chunk-aligned slots: **no atomics anywhere**; the caller
+    segment-sums per-intersection gradients to Gaussians via the VJP of the
+    feature gather.
   * Early termination is a per-chunk skip (`pl.when`) once max transmittance
     in the tile falls below 1e-4, matching gsplat's per-pixel cutoff in
     effect while keeping control flow compile-time static.
 
-Feature row layout (16 f32 per intersection), built by ops/pipeline.py:
-  [0:6]  quadratic coeffs matching basis rows [x², y², xy, x, y, 1]
-  [6:8]  zero padding (so the basis matmul contracts over 8 lanes)
-  [8]    opacity (compensation already folded in)
-  [9:14] composited channels [r, g, b, depth, 1]  (the trailing 1 makes the
-         same matmul accumulate the alpha channel)
-  [14:16] zero padding
+Feature layout, (16, M) f32, built by ops/pipeline.py:
+  rows 0..5   quadratic coeffs matching basis rows [x², y², xy, x, y, 1];
+              row 5 carries the constant term minus log(opacity)
+  rows 6..7   zero padding (so the basis matmul contracts over 8 sublanes)
+  rows 8..12  composited channels [r, g, b, depth, 1]
+  rows 13..15 zero padding
 
 Output layout: (num_tiles, 8, 8, 128) f32 — channels [r, g, b, depth, alpha,
 0, 0, 0] over the flattened 1024-pixel tile (pixel p = py*32+px ↦ (p//128,
 p%128)).
 """
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .binning import CHUNK, TILE
 
 C_PAD = 8            # padded channel count in the output
-FEAT = 16            # feature row width
+FEAT = 16            # feature rows
 MAX_BWD_CHUNKS = 512  # transmittance checkpoint depth in backward (64k isects/tile)
 STOP_T = 1e-4        # early-termination transmittance threshold
 ALPHA_THRESH = 1.0 / 255.0
@@ -62,9 +65,9 @@ _PIX = TILE * TILE   # 1024
 
 def _pixel_basis():
     """(8, 1024) tile-local monomial basis [x², y², xy, x, y, 1, 0, 0]."""
-    flat = jax.lax.broadcasted_iota(jnp.float32, (1, _PIX), 1)
-    px = jnp.mod(flat, TILE) + 0.5
-    py = jnp.floor(flat / TILE) + 0.5
+    flat = jax.lax.broadcasted_iota(jnp.int32, (1, _PIX), 1)
+    px = jnp.mod(flat, TILE).astype(jnp.float32) + 0.5
+    py = (flat // TILE).astype(jnp.float32) + 0.5
     one = jnp.ones_like(px)
     zero = jnp.zeros_like(px)
     return jnp.concatenate(
@@ -80,21 +83,23 @@ def _tri(strict_lower: bool):
 
 
 def _dot(a, b, contract=((1,), (0,))):
+    # HIGHEST: TPU f32 matmul defaults to one-pass bf16 on the MXU, which is
+    # far too coarse for transmittance prefix sums (alpha drifts above 1).
     return jax.lax.dot_general(
         a, b, dimension_numbers=(contract, ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
 def _chunk_alphas(chunkf, basis):
-    """Shared alpha math: returns (sigma_exp, alpha, log1m_alpha)."""
-    coef = chunkf[:, 0:8]                                  # (CHUNK, 8)
-    sigma = _dot(coef, basis)                              # (CHUNK, PIX)
-    sigma_exp = jnp.exp(-sigma)
-    op = chunkf[:, 8:9]                                    # (CHUNK, 1)
-    alpha = jnp.minimum(op * sigma_exp, MAX_ALPHA)
+    """Shared alpha math. chunkf: (FEAT, CHUNK). Returns (alpha, log1m)."""
+    coef_t = chunkf[0:8, :]                                # (8, CHUNK)
+    # sigma[k, p] = Σ_r coef_t[r, k] * basis[r, p]
+    sigma = _dot(coef_t, basis, contract=((0,), (0,)))     # (CHUNK, PIX)
+    alpha = jnp.minimum(jnp.exp(-sigma), MAX_ALPHA)
     alpha = jnp.where(alpha >= ALPHA_THRESH, alpha, 0.0)
-    return sigma_exp, alpha, jnp.log1p(-alpha)
+    return alpha, jnp.log1p(-alpha)
 
 
 # ---------------------------------------------------------------------------
@@ -116,7 +121,8 @@ def _fwd_kernel(starts_ref, chunks_ref, feats_hbm, out_ref,
 
     def dma(slot, c):
         return pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            feats_hbm.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK),
+                                  CHUNK)],
             buf.at[slot], sem.at[slot],
         )
 
@@ -137,33 +143,34 @@ def _fwd_kernel(starts_ref, chunks_ref, feats_hbm, out_ref,
 
         @pl.when(alive)
         def _():
-            chunkf = buf[slot]                              # (CHUNK, FEAT)
-            _, alpha, l1m = _chunk_alphas(chunkf, basis)
+            chunkf = buf[slot]                              # (FEAT, CHUNK)
+            alpha, l1m = _chunk_alphas(chunkf, basis)
             s_excl = _dot(ltri, l1m)                        # (CHUNK, PIX)
             trans = jnp.exp(s_excl) * tc[...]               # bcast (1, PIX)
             w = alpha * trans
-            colors = chunkf[:, 8:16]                        # (CHUNK, 8)
-            # cols [8..16) = [op, r, g, b, depth, 1, 0, 0]; contract over
-            # CHUNK: acc[ch] += sum_k colors[k, ch] * w[k, p]
-            acc[...] += _dot(colors, w, contract=((0,), (0,)))
+            colors_t = chunkf[8:16, :]                      # (8, CHUNK)
+            # rows [8..16) = [r, g, b, depth, 1, 0, 0, 0]:
+            # acc[ch, p] += Σ_k colors_t[ch, k] * w[k, p]
+            acc[...] += _dot(colors_t, w)
             tc[...] *= jnp.exp(s_excl[CHUNK - 1:CHUNK, :] + l1m[CHUNK - 1:CHUNK, :])
 
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
 
-    # acc rows: [op-weighted (unused), r, g, b, depth, alpha, 0, 0] — shift so
-    # the output channel layout is [r, g, b, depth, alpha, 0, 0, 0].
-    out = jnp.concatenate([acc[1:8, :], jnp.zeros((1, _PIX), jnp.float32)], axis=0)
-    out_ref[0] = out.reshape(C_PAD, _PIX // 128, 128)
+    # acc rows are [r, g, b, depth, Σw, 0, 0, 0]; replace the summed-w alpha
+    # channel with the analytically identical but exactly-bounded 1 - T_final
+    # (f32 summation lets Σw drift past 1 by ~1e-4).
+    acc[4:5, :] = 1.0 - tc[...]
+    out_ref[0] = acc[...].reshape(C_PAD, _PIX // 128, 128)
 
 
 def rasterize_fwd(feats, tile_starts, tile_chunks, n_tiles, *, interpret=False):
-    """feats: (M_aligned + CHUNK, FEAT) f32. Returns (n_tiles, 8, 8, 128)."""
+    """feats: (FEAT, M_aligned) f32. Returns (n_tiles, 8, 8, 128)."""
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
             (1, C_PAD, _PIX // 128, 128), lambda t, *_: (t, 0, 0, 0),
             memory_space=pltpu.VMEM,
@@ -171,7 +178,7 @@ def rasterize_fwd(feats, tile_starts, tile_chunks, n_tiles, *, interpret=False):
         scratch_shapes=[
             pltpu.VMEM((C_PAD, _PIX), jnp.float32),   # acc
             pltpu.VMEM((1, _PIX), jnp.float32),       # transmittance carry
-            pltpu.VMEM((2, CHUNK, FEAT), jnp.float32),
+            pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -198,23 +205,22 @@ def _bwd_kernel(starts_ref, chunks_ref, feats_hbm, gout_ref, dfeats_hbm,
     basis = _pixel_basis()
     ltri = _tri(strict_lower=True)
     utri = _tri(strict_lower=False)
-    g = gout_ref[0].reshape(C_PAD, _PIX)                    # [r,g,b,d,alpha,0,0,0]
-    # pad channel cotangent to 8 rows aligned with feature cols [8..16):
-    # row 0 pairs with opacity col (no contribution), rows 1..5 with
-    # [r,g,b,depth,1]-channel outputs.
-    g8 = jnp.concatenate([jnp.zeros((1, _PIX), jnp.float32), g[0:5, :],
-                          jnp.zeros((2, _PIX), jnp.float32)], axis=0)
+    # cotangent rows pair with feature rows 8..16: [r, g, b, depth, alpha(=the
+    # constant-1 channel), 0, 0, 0]
+    g8 = gout_ref[0].reshape(C_PAD, _PIX)
 
     def dma_in(slot, c):
         return pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            feats_hbm.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK),
+                                  CHUNK)],
             buf.at[slot], sem.at[slot],
         )
 
     def dma_out(slot, c):
         return pltpu.make_async_copy(
             dbuf.at[slot],
-            dfeats_hbm.at[pl.ds(start + c * CHUNK, CHUNK), :],
+            dfeats_hbm.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK),
+                                   CHUNK)],
             wsem.at[slot],
         )
 
@@ -237,7 +243,7 @@ def _bwd_kernel(starts_ref, chunks_ref, feats_hbm, gout_ref, dfeats_hbm,
 
         @pl.when(jnp.max(carry[...]) > STOP_T)
         def _():
-            _, _, l1m = _chunk_alphas(buf[slot], basis)
+            _, l1m = _chunk_alphas(buf[slot], basis)
             total = _dot(jnp.ones((1, CHUNK), jnp.float32), l1m)
             carry[...] *= jnp.exp(total)
 
@@ -267,16 +273,15 @@ def _bwd_kernel(starts_ref, chunks_ref, feats_hbm, gout_ref, dfeats_hbm,
             dma_out(slot, c + 2).wait()
 
         chunkf = buf[slot]
-        sigma_exp, alpha, l1m = _chunk_alphas(chunkf, basis)
+        alpha, l1m = _chunk_alphas(chunkf, basis)
         tc_in = tc_store[pl.ds(c, 1), :]
         s_excl = _dot(ltri, l1m)
         trans = jnp.exp(s_excl) * tc_in
         w = alpha * trans
 
-        colors = chunkf[:, 8:16]
-        # G[k, p] = Σ_ch colors[k, ch] * g8[ch, p]: per-intersection-pixel
-        # cotangent of the compositing weight w[k, p]
-        G = _dot(colors, g8)
+        colors_t = chunkf[8:16, :]                           # (8, CHUNK)
+        # G[k, p] = Σ_ch colors_t[ch, k] * g8[ch, p]
+        G = _dot(colors_t, g8, contract=((0,), (0,)))        # (CHUNK, PIX)
         wG = w * G
         suffix = _dot(utri, wG) + carry[...]
         # gradient of loss wrt alpha_k (pre-gating)
@@ -286,15 +291,14 @@ def _bwd_kernel(starts_ref, chunks_ref, feats_hbm, gout_ref, dfeats_hbm,
         gate = (alpha > 0.0) & (alpha < MAX_ALPHA)
         d_alpha = jnp.where(gate, d_alpha, 0.0)
 
-        d_op = _dot(sigma_exp * d_alpha, jnp.ones((_PIX, 1), jnp.float32))
+        # α = exp(-σ′) ⇒ dσ′ = -α·dα; gradient wrt transposed coefficients:
+        # d_coef_t[r, k] = Σ_p basis[r, p] * d_sigma[k, p]
         d_sigma = -(alpha * d_alpha)
-        d_coef = _dot(d_sigma, basis, contract=((1,), (1,)))  # (CHUNK, 8)
-        d_colors = _dot(w, g8, contract=((1,), (1,)))         # (CHUNK, 8)
-        # d_colors col 0 pairs with the opacity feature column -> replace
-        # with the true opacity gradient; cols 6..8 are padding (zeros in g8).
-        d_tail = jnp.concatenate([d_op, d_colors[:, 1:8]], axis=1)
+        d_coef_t = _dot(basis, d_sigma, contract=((1,), (1,)))  # (8, CHUNK)
+        # d_colors_t[ch, k] = Σ_p g8[ch, p] * w[k, p]
+        d_colors_t = _dot(g8, w, contract=((1,), (1,)))         # (8, CHUNK)
 
-        dbuf[slot] = jnp.concatenate([d_coef, d_tail], axis=1)
+        dbuf[slot] = jnp.concatenate([d_coef_t, d_colors_t], axis=0)
         dma_out(slot, c).start()
 
         carry[...] += _dot(jnp.ones((1, CHUNK), jnp.float32), wG)
@@ -314,23 +318,24 @@ def _bwd_kernel(starts_ref, chunks_ref, feats_hbm, gout_ref, dfeats_hbm,
 
 def rasterize_bwd(feats, tile_starts, tile_chunks, gout, n_tiles, *,
                   interpret=False):
-    """Returns d_feats with the same shape as feats. Chunk-aligned slots not
-    covered by any tile keep whatever was in memory — they map to the dummy
-    Gaussian row and are dropped by the caller's segment-sum."""
+    """Returns d_feats with the same (FEAT, M_aligned) shape as feats.
+    Chunk-aligned slots not covered by any tile keep whatever was in memory —
+    they map to the dummy Gaussian row and are dropped by the caller's
+    segment-sum."""
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, C_PAD, _PIX // 128, 128), lambda t, *_: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((MAX_BWD_CHUNKS, _PIX), jnp.float32),  # tc checkpoints
             pltpu.VMEM((1, _PIX), jnp.float32),               # carry (Tc / R)
-            pltpu.VMEM((2, CHUNK, FEAT), jnp.float32),        # read buffers
-            pltpu.VMEM((2, CHUNK, FEAT), jnp.float32),        # write buffers
+            pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),        # read buffers
+            pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),        # write buffers
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
