@@ -104,6 +104,11 @@ def init_params(
         scales = jnp.repeat(scales[:, None], 3, axis=1)
 
     quats = random_quats(k_quat, num_points).astype(dtype)
+    # dead slots must NOT hold zero quats: normalizing a zero quaternion
+    # produces inf*0 = NaN in the backward pass even under zero cotangents
+    quats = jnp.concatenate(
+        [quats, jnp.tile(jnp.array([[1.0, 0, 0, 0]], dtype),
+                         (capacity - num_points, 1))])
     n_bases = sh_lib.num_sh_bases(sh_degree)
     sh_dc = sh_lib.rgb_to_sh(colors)[:, None, :]
     sh_rest = jnp.zeros((num_points, n_bases - 1, 3), dtype)
@@ -113,7 +118,7 @@ def init_params(
     params = GaussianParams(
         means=pad(means),
         log_scales=pad(jnp.log(jnp.maximum(scales, 1e-8))),
-        quats=pad(quats),
+        quats=quats,
         # dead slots get strongly negative opacity so they never render even
         # if a mask is dropped somewhere downstream
         logit_opacities=jnp.where(mask[:, None], pad(logit_op), -20.0),

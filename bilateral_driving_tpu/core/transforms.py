@@ -18,8 +18,11 @@ _EPS = 1e-8
 
 
 def quat_normalize(q: jax.Array) -> jax.Array:
-    """Normalize quaternions to unit norm, safely at 0."""
-    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
+    """Normalize quaternions to unit norm, safely at 0 — including the
+    backward pass (rsqrt of a clamped square-norm; `norm` would produce
+    inf*0 = NaN gradients at q = 0)."""
+    sq = jnp.maximum(jnp.sum(q * q, axis=-1, keepdims=True), _EPS * _EPS)
+    return q * jax.lax.rsqrt(sq)
 
 
 def quat_to_rotmat(q: jax.Array) -> jax.Array:

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from . import encoders
+from .encoders import Static
 
 
 def _nerf_encode(x: jax.Array, multires: int) -> jax.Array:
@@ -63,11 +64,11 @@ def init_deform(key, depth: int = 8, width: int = 256, embed_dim: int = 0,
     return {
         "trunk": trunk,
         "heads": heads,
-        "meta": {
+        "meta": Static({
             "skips": skips,
             "x_multires": x_multires,
             "t_multires": t_multires,
-        },
+        }),
     }
 
 
@@ -77,7 +78,7 @@ def apply_deform(params, x: jax.Array, t: jax.Array,
 
     Skip layout matches modules.py:952-959: h = relu(W h); then at skip
     layers h = concat([inputs, h])."""
-    meta = params["meta"]
+    meta = params["meta"].value
     x_emb = _nerf_encode(x, meta["x_multires"])
     t_emb = _nerf_encode(t, meta["t_multires"])
     parts = [x_emb, t_emb] + ([condition] if condition is not None else [])

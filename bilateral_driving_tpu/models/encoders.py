@@ -7,11 +7,20 @@ jit/vmap-friendly.
 """
 from __future__ import annotations
 
+import dataclasses
 import math
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class Static:
+    """Hashable static metadata embedded in a param pytree (zero leaves, so
+    grad/optimizers skip it)."""
+    value: Any
 
 
 def sinusoidal_encode(x: jax.Array, min_deg: int, max_deg: int,
@@ -60,13 +69,13 @@ def mlp_init(key: jax.Array, in_dim: int, out_dim: int, num_layers: int,
             w = jnp.zeros_like(w)
             b = jnp.zeros_like(b)
         params.append({"w": w, "b": b})
-    return {"layers": params, "skips": tuple(skips)}
+    return {"layers": params, "skips": Static(tuple(skips))}
 
 
 def mlp_apply(params, x: jax.Array) -> jax.Array:
     inp = x
     layers = params["layers"]
-    skips = params["skips"]
+    skips = params["skips"].value
     for i, layer in enumerate(layers):
         if i in skips:
             x = jnp.concatenate([x, inp], axis=-1)

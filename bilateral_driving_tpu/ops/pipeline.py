@@ -92,6 +92,7 @@ def rasterize(
     height: int,
     cfg: RasterizeConfig = RasterizeConfig(),
     mean2d_sink: Optional[jax.Array] = None,
+    means2d_dummy: Optional[jax.Array] = None,
 ):
     """Differentiable tiled rasterization of N Gaussians into one camera.
 
@@ -113,6 +114,10 @@ def rasterize(
         near_plane=cfg.near_plane, far_plane=cfg.far_plane,
         radius_clip=cfg.radius_clip, antialiased=cfg.antialiased,
     )
+    if means2d_dummy is not None:
+        # zeros input whose gradient is the per-Gaussian screen-space
+        # gradient (replaces `info["means2d"].retain_grad()`, base.py:430)
+        proj = proj._replace(means2d=proj.means2d + means2d_dummy)
     sg = jax.lax.stop_gradient
     isect = binning.bin_gaussians(
         sg(proj.means2d), sg(proj.radii), sg(proj.depths), sg(proj.valid),

@@ -1,0 +1,521 @@
+"""Scene trainer: composes node classes, renders, computes the loss stack,
+and steps a per-group-scheduled optimizer — the counterpart of the
+reference's `BasicTrainer`/`MultiTrainer`
+(project/models/trainers/{base,scene_graph}.py), re-architected functionally:
+
+  * `TrainerState` is one pytree (params / masks / density stats / optax
+    state / step); `train_step` is a pure jitted function.
+  * forward = camera refinement -> per-class `gaussians()` -> static concat
+    -> Pallas rasterize -> sky compositing -> appearance transform
+    (base.py:447-500, scene_graph.py:86-120).
+  * screen-space densification gradients come from a zeros `means2d_dummy`
+    input (the autodiff-native replacement for retain_grad + absgrad).
+  * adaptive density control runs inside the jitted step under `lax.cond`
+    every `refine_interval` steps (train/density.py) with masked Adam-moment
+    resets — no optimizer surgery, no recompiles.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..core import gaussians as G
+from ..models import affine as affine_mod
+from ..models import bilateral, camera_opt, sky as sky_mod
+from ..ops import pipeline
+from ..scene import (background, deformable, nodes, pvg, rigid, smpl_node)
+from . import density, losses, schedules
+
+
+# --------------------------------------------------------------------------
+# configuration
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    # class toggles
+    background_model: str = "vanilla"      # vanilla | pvg | none
+    use_rigid: bool = False
+    use_smpl: bool = False
+    use_deformable: bool = False
+    sky_model: str = "envlight"            # envlight | mlp | none
+    affine_model: str = "multiscale_bilateral"  # multiscale_bilateral |
+    #                                     bilateral | affine | neural_bilateral | none
+    use_camera_opt: bool = False
+
+    # render
+    near_plane: float = 0.1
+    far_plane: float = 10000000.0
+    radius_clip: float = 0.0
+    antialiased: bool = False
+    isect_capacity: int = 2 ** 20
+    interpret: bool = False
+    sh_degree: int = 3
+    sh_degree_interval: int = 1000
+
+    # bilateral / sky / misc model hyperparams
+    ms_grid: tuple = bilateral.DEFAULT_MS_GRID
+    guidance_factor: tuple = bilateral.DEFAULT_GUIDANCE_FACTOR
+    bilateral_grid_shape: tuple = (16, 16, 8)
+    envlight_resolution: int = 256
+    num_images: int = 1
+    num_frames: int = 1
+
+    # loss weights (omnire_ms_bilateral.yaml:19-37)
+    w_rgb: float = 0.8
+    w_ssim: float = 0.2
+    w_mask: float = 0.05
+    w_depth: float = 0.01
+    lidar_w_decay: float = -1.0
+    w_affine: float = 0.00001
+    w_affine_inverse: float = 0.0          # `w1` cycle loss
+    w_opacity_entropy: float = 0.0
+    w_inverse_depth_smoothness: float = 0.0
+    depth_loss_type: str = "l1"
+    max_depth: float = 80.0
+
+    # per-class reg configs (dict-likes; see scene/*.reg_loss)
+    background_reg: tuple = ()
+    smpl_reg: tuple = ()
+    w_rigid_temporal: float = 0.0
+    w_smpl_joint_smooth: float = 0.0
+
+    # density control
+    density: density.DensityConfig = density.DensityConfig()
+    scene_scale: float = 1.0
+
+    # optimization: (group, lr_init, lr_final, warmup_steps); values match
+    # the reference configs (omnire_ms_bilateral.yaml:38-52, 108-114, 250-265)
+    lr: tuple = (
+        ("means", 1.6e-4, 1.6e-6, 0),
+        ("log_scales", 5e-3, None, 0),
+        ("quats", 1e-3, None, 0),
+        ("logit_opacities", 5e-2, None, 0),
+        ("sh_dc", 2.5e-3, None, 0),
+        ("sh_rest", 1.25e-4, None, 0),
+        ("instances_quats", 1e-5, 5e-6, 0),
+        ("instances_trans", 5e-4, 1e-4, 0),
+        ("smpl_quats", 5e-5, 1e-5, 0),
+        ("velocity", 1e-3, None, 0),
+        ("taus", 1e-4, None, 0),
+        ("log_betas", 1e-3, None, 0),
+        ("sky", 1e-3, None, 0),
+        ("affine", 6e-4, 3e-5, 1000),
+        ("camera_opt", 1e-5, None, 0),
+        ("deform", 1.6e-4, None, 0),
+        ("other", 1e-3, None, 0),
+    )
+    max_steps: int = 30000
+
+
+class _RegDict(dict):
+    pass
+
+
+def _regs(pairs) -> dict:
+    """(("name", {...}), ...) config tuples -> dict."""
+    return {k: dict(v) for k, v in pairs}
+
+
+@struct.dataclass
+class TrainerState:
+    params: Any
+    aux: Any          # per-class non-optimized per-point arrays (point_ids...)
+    masks: Any
+    stats: Any
+    opt_state: Any
+    step: jax.Array
+    key: jax.Array
+
+
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
+
+
+def gaussian_classes(cfg: TrainerConfig):
+    out = []
+    if cfg.background_model != "none":
+        out.append("Background")
+    if cfg.use_rigid:
+        out.append("RigidNodes")
+    if cfg.use_smpl:
+        out.append("SMPLNodes")
+    if cfg.use_deformable:
+        out.append("DeformableNodes")
+    return out
+
+
+def collect_gaussians(cfg: TrainerConfig, params, statics, masks, cam_origin,
+                      step, frame, t, in_test_set=False,
+                      opacity_multiplier=None):
+    """Per-class get_gaussians + static concat (base.py:342-383).
+    `statics[name]` must already include that class's aux arrays
+    (point_ids etc.) — see `merge_statics`."""
+    bundles = {}
+    if cfg.background_model == "vanilla":
+        bundles["Background"] = background.gaussians(
+            params["Background"], masks["Background"], cam_origin, step,
+            background.BackgroundConfig(cfg.sh_degree, cfg.sh_degree_interval))
+    elif cfg.background_model == "pvg":
+        bundles["Background"] = pvg.gaussians(
+            params["Background"], masks["Background"], cam_origin, step, t,
+            pvg.PVGConfig(cfg.sh_degree, cfg.sh_degree_interval))
+    if cfg.use_rigid:
+        bundles["RigidNodes"] = rigid.gaussians(
+            params["RigidNodes"], statics["RigidNodes"], masks["RigidNodes"],
+            cam_origin, step, frame, cfg.num_frames, in_test_set,
+            rigid.RigidConfig(cfg.sh_degree, cfg.sh_degree_interval))
+    if cfg.use_smpl:
+        bundles["SMPLNodes"] = smpl_node.gaussians(
+            params["SMPLNodes"], statics["SMPLNodes"], masks["SMPLNodes"],
+            cam_origin, step, frame, cfg.num_frames, in_test_set,
+            smpl_node.SMPLConfig(cfg.sh_degree, cfg.sh_degree_interval))
+    if cfg.use_deformable:
+        bundles["DeformableNodes"] = deformable.node_gaussians(
+            params["DeformableNodes"], statics["DeformableNodes"],
+            masks["DeformableNodes"], cam_origin, step, frame,
+            cfg.num_frames, t, in_test_set,
+            deformable.DeformableConfig(cfg.sh_degree, cfg.sh_degree_interval))
+    merged, labels = nodes.concat_bundles(bundles)
+    if opacity_multiplier is not None:
+        merged = merged._replace(opacities=merged.opacities * opacity_multiplier)
+    return merged, labels
+
+
+def merge_statics(statics, aux):
+    """Combine immutable statics with refinement-mutable aux per class."""
+    out = {}
+    for name in set(statics) | set(aux):
+        out[name] = {**statics.get(name, {}), **aux.get(name, {})}
+    return out
+
+
+def forward(cfg: TrainerConfig, params, statics, masks, batch,
+            step, in_test_set: bool = False, novel_view: bool = False,
+            means2d_dummy=None, opacity_multiplier=None,
+            neighbor_idx=None):
+    """Full forward pass (base.py:447-500 + scene_graph affine dispatch).
+
+    batch: camera_to_world (4,4), intrinsics (3,3), pixels (H,W,3), viewdirs
+    (H,W,3), img_idx (), frame_idx (), normed_time (), H/W static via pixels.
+    """
+    h, w = batch["pixels"].shape[:2]
+    c2w = batch["camera_to_world"]
+    if cfg.use_camera_opt and not novel_view and not in_test_set:
+        c2w = camera_opt.apply_camera_opt(params["CamPose"], c2w,
+                                          batch["img_idx"])
+    # closed-form SE(3) inverse
+    R = c2w[:3, :3]
+    tr = c2w[:3, 3]
+    viewmat = jnp.eye(4).at[:3, :3].set(R.T).at[:3, 3].set(-R.T @ tr)
+
+    merged, labels = collect_gaussians(
+        cfg, params, statics, masks, c2w[:3, 3], step, batch["frame_idx"],
+        batch["normed_time"], in_test_set, opacity_multiplier)
+
+    rcfg = pipeline.RasterizeConfig(
+        near_plane=cfg.near_plane, far_plane=cfg.far_plane,
+        radius_clip=cfg.radius_clip, antialiased=cfg.antialiased,
+        isect_capacity=cfg.isect_capacity, interpret=cfg.interpret)
+    out = pipeline.rasterize(
+        merged.means, merged.quats, merged.scales, merged.opacities,
+        merged.rgbs, viewmat, batch["intrinsics"], w, h, rcfg,
+        means2d_dummy=means2d_dummy)
+
+    rgb_gaussians = jnp.minimum(out["rgb"], 1.0)   # clamp max=1 (base.py:414)
+    opacity = out["alpha"]
+
+    outputs = {
+        "rgb_gaussians": rgb_gaussians,
+        "depth": out["depth"],
+        "opacity": opacity,
+        "info": out["info"],
+        "labels": labels,
+    }
+
+    # sky (base.py:489-497)
+    if cfg.sky_model == "envlight":
+        rgb_sky = sky_mod.envlight_color(params["Sky"], batch["viewdirs"])
+    elif cfg.sky_model == "mlp":
+        rgb_sky = sky_mod.sky_mlp_color(params["Sky"], batch["viewdirs"],
+                                        batch["img_idx"],
+                                        use_mean_embedding=in_test_set)
+    else:
+        rgb_sky = jnp.zeros_like(rgb_gaussians)
+    outputs["rgb_sky"] = rgb_sky
+    original_rgb = rgb_gaussians + rgb_sky * (1.0 - opacity)
+    outputs["original_rgb"] = original_rgb
+
+    # appearance transform (scene_graph.py:86-120)
+    aff = cfg.affine_model
+    if aff == "multiscale_bilateral":
+        mats_list = bilateral.multiscale_affines(
+            params["Affine"], original_rgb, batch["img_idx"],
+            cfg.guidance_factor,
+            neighbor_idx=neighbor_idx if in_test_set else None)
+        outputs["affine_mats"] = mats_list
+        outputs["rgb"] = bilateral.compose_affines(mats_list, original_rgb)
+    elif aff == "bilateral":
+        mats = bilateral.bilateral_affines(
+            params["Affine"], original_rgb, batch["img_idx"],
+            neighbor_idx=neighbor_idx if in_test_set else None)
+        outputs["rgb"] = bilateral.apply_affine(mats, original_rgb)
+    elif aff == "affine":
+        mats = affine_mod.affine_mats(params["Affine"], batch["img_idx"],
+                                      use_mean_embedding=in_test_set)
+        outputs["rgb"] = bilateral.apply_affine(mats, original_rgb)
+        outputs["affine_single"] = mats
+    elif aff == "neural_bilateral":
+        mats = bilateral.neural_bilateral_affines(
+            params["Affine"], original_rgb, batch["img_idx"],
+            neighbor_idx=neighbor_idx if in_test_set else None)
+        # residual application (scene_graph.py:99-106)
+        outputs["rgb"] = bilateral.apply_affine(mats, original_rgb) + original_rgb
+    else:
+        outputs["rgb"] = original_rgb
+    return outputs
+
+
+# --------------------------------------------------------------------------
+# losses (base.py:518-659)
+# --------------------------------------------------------------------------
+
+
+def compute_losses(cfg: TrainerConfig, params, statics, masks, outputs,
+                   batch, step):
+    loss = {}
+    if "egocar_masks" in batch:
+        valid = 1.0 - batch["egocar_masks"]
+    else:
+        valid = jnp.ones(batch["pixels"].shape[:2])
+
+    gt_rgb = batch["pixels"] * valid[..., None]
+    pred_rgb = outputs["rgb"] * valid[..., None]
+
+    loss["rgb"] = cfg.w_rgb * losses.l1(gt_rgb, pred_rgb)
+    loss["ssim"] = cfg.w_ssim * (1.0 - losses.ssim(gt_rgb, pred_rgb))
+
+    if cfg.w_mask > 0 and "sky_masks" in batch:
+        gt_occ = (1.0 - batch["sky_masks"]) * valid
+        pred_occ = outputs["opacity"][..., 0] * valid
+        loss["sky_opacity"] = cfg.w_mask * losses.safe_bce(pred_occ, gt_occ)
+
+    if cfg.w_depth > 0 and "lidar_depth_map" in batch:
+        decay = jnp.where(cfg.lidar_w_decay > 0,
+                          jnp.exp(-step / 8000.0 * cfg.lidar_w_decay), 1.0)
+        hit = (batch["lidar_depth_map"] > 0).astype(jnp.float32) * valid
+        loss["depth"] = cfg.w_depth * decay * losses.depth_loss(
+            outputs["depth"][..., 0], batch["lidar_depth_map"], hit,
+            loss_type=cfg.depth_loss_type, max_depth=cfg.max_depth)
+
+    if cfg.w_opacity_entropy > 0:
+        loss["opacity_entropy"] = cfg.w_opacity_entropy * \
+            losses.opacity_entropy(outputs["opacity"][..., 0])
+
+    if cfg.w_inverse_depth_smoothness > 0:
+        inv_d = 1.0 / (outputs["depth"][..., 0] + 1e-5)
+        loss["inverse_depth_smoothness"] = cfg.w_inverse_depth_smoothness * \
+            losses.inverse_depth_smoothness(inv_d, batch["pixels"])
+
+    # affine regularization (base.py:588-640)
+    aff = cfg.affine_model
+    if aff == "multiscale_bilateral":
+        tv = bilateral.multiscale_tv_loss(params["Affine"], cfg.ms_grid)
+        l = cfg.w_affine * tv
+        if cfg.w_affine_inverse > 0:
+            l = l + cfg.w_affine_inverse * bilateral.inverse_loss(
+                outputs["affine_mats"], gt_rgb,
+                outputs["original_rgb"] * valid[..., None])
+        loss["affine"] = l
+    elif aff in ("bilateral", "neural_bilateral"):
+        loss["affine"] = cfg.w_affine * \
+            bilateral.bilateral_tv_loss(params["Affine"])
+    elif aff == "affine":
+        loss["affine"] = cfg.w_affine * \
+            affine_mod.identity_reg_loss(outputs["affine_single"])
+
+    # per-class regs
+    radii = outputs["info"]["radii"]
+    labels = outputs["labels"]
+    offset = 0
+    class_radii = {}
+    for name in gaussian_classes(cfg):
+        c = masks[name].shape[0]
+        class_radii[name] = radii[offset:offset + c]
+        offset += c
+
+    if cfg.background_model == "vanilla" and cfg.background_reg:
+        for k, v in background.reg_loss(
+                params["Background"], masks["Background"],
+                class_radii.get("Background"), step,
+                _regs(cfg.background_reg)).items():
+            loss[f"Background_{k}"] = v
+    if cfg.use_rigid and cfg.w_rigid_temporal > 0:
+        loss["RigidNodes_temporal"] = rigid.temporal_smoothness_loss(
+            params["RigidNodes"], statics["RigidNodes"],
+            cfg.w_rigid_temporal, cfg.w_rigid_temporal)
+    if cfg.use_smpl and cfg.w_smpl_joint_smooth > 0:
+        loss["SMPLNodes_joint_smooth"] = smpl_node.joint_smoothness_loss(
+            params["SMPLNodes"], statics["SMPLNodes"], batch["frame_idx"],
+            cfg.num_frames, cfg.w_smpl_joint_smooth)
+    if cfg.use_smpl and cfg.smpl_reg:
+        nn_ind = statics["SMPLNodes"].get("nn_ind")
+        if nn_ind is not None:
+            for k, v in smpl_node.knn_reg_loss(
+                    params["SMPLNodes"], statics["SMPLNodes"], nn_ind,
+                    batch["frame_idx"], _regs(cfg.smpl_reg)).items():
+                loss[f"SMPLNodes_{k}"] = v
+    return loss
+
+
+# --------------------------------------------------------------------------
+# optimizer
+# --------------------------------------------------------------------------
+
+
+def _label_for_path(path) -> str:
+    keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+    keys = [k for k in keys if isinstance(k, str)]
+    known = {"means", "log_scales", "quats", "logit_opacities", "sh_dc",
+             "sh_rest", "instances_quats", "instances_trans", "smpl_quats",
+             "velocity", "taus", "log_betas"}
+    top = keys[0] if keys else "other"
+    if top == "Sky":
+        return "sky"
+    if top == "Affine":
+        return "affine"
+    if top == "CamPose":
+        return "camera_opt"
+    for k in keys:
+        if k in known:
+            return k
+        if k in ("deform_net", "instance_embeds", "voxel_w_correction"):
+            return "deform"
+    return "other"
+
+
+def make_optimizer(cfg: TrainerConfig, params):
+    lr_table = {e[0]: e[1:] for e in cfg.lr}
+    transforms_map = {}
+    for name, (init, final, warmup) in lr_table.items():
+        init_lr = init * (cfg.scene_scale if name == "means" else 1.0)
+        final_lr = (final * cfg.scene_scale) if (name == "means" and final) \
+            else final
+        sched = schedules.make_schedule(schedules.LRConfig(
+            lr_init=init_lr, lr_final=final_lr, max_steps=cfg.max_steps,
+            warmup_steps=warmup, lr_pre_warmup=0.0))
+        transforms_map[name] = optax.chain(
+            optax.scale_by_adam(eps=1e-15),
+            optax.scale_by_schedule(lambda s, f=sched: -f(s)),
+        )
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: _label_for_path(path), params)
+    return optax.multi_transform(transforms_map, labels)
+
+
+# --------------------------------------------------------------------------
+# init / step
+# --------------------------------------------------------------------------
+
+
+def init_state(key, cfg: TrainerConfig, params, masks,
+               aux=None) -> TrainerState:
+    opt = make_optimizer(cfg, params)
+    stats = {name: density.DensityStats.zeros(masks[name].shape[0])
+             for name in gaussian_classes(cfg)}
+    aux = aux or {name: {} for name in gaussian_classes(cfg)}
+    return TrainerState(
+        params=params, aux=aux, masks=masks, stats=stats,
+        opt_state=opt.init(params), step=jnp.zeros((), jnp.int32), key=key)
+
+
+def train_step(cfg: TrainerConfig, statics, state: TrainerState, batch
+               ) -> Tuple[TrainerState, Dict[str, jax.Array]]:
+    """One jitted optimization step incl. density-stat accumulation and
+    (under lax.cond) periodic refinement."""
+    opt = make_optimizer(cfg, state.params)
+    full_statics = merge_statics(statics, state.aux)
+    n_total = sum(state.masks[n].shape[0] for n in gaussian_classes(cfg))
+    dummy = jnp.zeros((n_total, 2))
+
+    def loss_fn(params, dummy):
+        outputs = forward(cfg, params, full_statics, state.masks, batch,
+                          state.step, means2d_dummy=dummy)
+        loss = compute_losses(cfg, params, full_statics, state.masks, outputs,
+                              batch, state.step)
+        total = sum(loss.values())
+        return total, (loss, outputs)
+
+    (total, (loss_dict, outputs)), grads = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(state.params, dummy)
+    g_params, g_dummy = grads
+
+    updates, opt_state = opt.update(g_params, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+
+    # densification stats per class (base.py:279-310)
+    radii = outputs["info"]["radii"]
+    h, w = batch["pixels"].shape[:2]
+    last_size = float(max(h, w))
+    stats = dict(state.stats)
+    offset = 0
+    for name in gaussian_classes(cfg):
+        c = state.masks[name].shape[0]
+        stats[name] = density.accumulate_stats(
+            stats[name], g_dummy[offset:offset + c],
+            radii[offset:offset + c], last_size)
+        offset += c
+
+    masks = dict(state.masks)
+    aux = dict(state.aux)
+    key, sub = jax.random.split(state.key)
+
+    do_refine = (state.step % cfg.density.refine_interval == 0) & \
+        (state.step > 0)
+
+    def with_refine(args):
+        params, aux, masks, stats, opt_state = args
+        params = dict(params)
+        aux = dict(aux)
+        masks = dict(masks)
+        stats = dict(stats)
+        for i, name in enumerate(gaussian_classes(cfg)):
+            if name == "SMPLNodes":     # fixed point count (smpl.py)
+                continue
+            extra_cull = None
+            if name in ("RigidNodes", "DeformableNodes"):
+                extra_cull = rigid.out_of_bound_mask(
+                    params[name],
+                    {**statics[name], **aux[name]})
+            p, a, alive, touched, _ = density.refine(
+                jax.random.fold_in(sub, i), params[name], aux[name],
+                masks[name], stats[name], state.step,
+                cfg.scene_scale, cfg.density, extra_cull=extra_cull)
+            params[name] = p
+            aux[name] = a
+            masks[name] = alive
+            stats[name] = density.DensityStats.zeros(alive.shape[0])
+            opt_state = density.reset_moments(opt_state, name, touched)
+        return params, aux, masks, stats, opt_state
+
+    params, aux, masks, stats, opt_state = jax.lax.cond(
+        do_refine, with_refine, lambda a: a,
+        (params, aux, masks, stats, opt_state))
+
+    metrics = {"loss": total, "psnr": losses.psnr(outputs["rgb"],
+                                                  batch["pixels"])}
+    metrics.update({f"loss/{k}": v for k, v in loss_dict.items()})
+    for name in gaussian_classes(cfg):
+        metrics[f"num_points/{name}"] = jnp.sum(masks[name])
+
+    new_state = TrainerState(params=params, aux=aux, masks=masks,
+                             stats=stats, opt_state=opt_state,
+                             step=state.step + 1, key=key)
+    return new_state, metrics

@@ -1,0 +1,173 @@
+"""Data layer: drivestudio-format scene loading round-trip on a generated
+fake scene directory, splits, depth projection, init extraction, sampler."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from bilateral_driving_tpu.data import importance, scene
+
+
+@pytest.fixture(scope="module")
+def fake_scene(tmp_path_factory):
+    """Write a minimal drivestudio-format scene: 4 frames, 2 cameras."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("scene")
+    F, H, W = 4, 32, 48
+    rng = np.random.RandomState(0)
+    for sub in ["images", "sky_masks", "dynamic_masks/all",
+                "dynamic_masks/human", "dynamic_masks/vehicle",
+                "extrinsics", "intrinsics", "lidar", "lidar_pose",
+                "instances"]:
+        os.makedirs(root / sub, exist_ok=True)
+
+    for cam in range(2):
+        np.savetxt(root / "intrinsics" / f"{cam}.txt",
+                   np.array([40.0, 40.0, W / 2, H / 2]))
+    for t in range(F):
+        for cam in range(2):
+            img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+            Image.fromarray(img).save(root / "images" / f"{t:03d}_{cam}.jpg")
+            sky = np.zeros((H, W), np.uint8)
+            sky[: H // 4] = 255
+            Image.fromarray(sky).save(root / "sky_masks" / f"{t:03d}_{cam}.png")
+            dyn = np.zeros((H, W), np.uint8)
+            dyn[H // 2:, : W // 2] = 255
+            Image.fromarray(dyn).save(
+                root / "dynamic_masks" / "all" / f"{t:03d}_{cam}.png")
+            c2w = np.eye(4)
+            c2w[:3, 3] = [cam * 0.5, 0.0, t * 1.0]
+            np.savetxt(root / "extrinsics" / f"{t:03d}_{cam}.txt", c2w)
+        # lidar: ring of points in front of the cameras, world frame
+        pts = rng.randn(500, 3).astype(np.float32) * np.array([5, 1, 5]) + \
+            np.array([0, 0.5, 10.0])
+        xyzi = np.concatenate([pts, np.ones((500, 1), np.float32)], 1)
+        xyzi.astype(np.float32).tofile(root / "lidar" / f"{t:03d}.bin")
+        np.savetxt(root / "lidar_pose" / f"{t:03d}.txt", np.eye(4))
+
+    # one moving rigid instance
+    info = {
+        "0": {
+            "class_name": "vehicle.car",
+            "frame_annotations": {
+                "frame_idx": list(range(F)),
+                "obj_to_world": [
+                    np.eye(4).tolist() for _ in range(F)
+                ],
+                "box_size": [[2.0, 1.5, 4.0]] * F,
+            },
+        }
+    }
+    for f in range(F):
+        info["0"]["frame_annotations"]["obj_to_world"][f][0][3] = f * 2.0
+    with open(root / "instances" / "instances_info.json", "w") as fh:
+        json.dump(info, fh)
+    with open(root / "instances" / "frame_instances.json", "w") as fh:
+        json.dump({str(f): ["0"] for f in range(F)}, fh)
+    return str(root)
+
+
+class TestLoadScene:
+    def test_roundtrip(self, fake_scene):
+        data = scene.load_scene(fake_scene, cameras=(0, 1))
+        assert data.num_frames == 4 and data.num_cams == 2
+        assert data.num_images == 8
+        assert data.images.shape == (8, 32, 48, 3)
+        assert 0.0 <= data.images.min() and data.images.max() <= 1.0
+        # world recentered: first front-cam pose is identity
+        np.testing.assert_allclose(data.cam_to_worlds[0], np.eye(4),
+                                   atol=1e-6)
+        assert data.sky_masks[0, 0, 0] == 1.0 and data.sky_masks[0, -1, 0] == 0.0
+
+    def test_depth_maps(self, fake_scene):
+        data = scene.load_scene(fake_scene, cameras=(0,))
+        assert data.lidar_depth_maps is not None
+        hits = data.lidar_depth_maps[0] > 0
+        assert hits.sum() > 10
+        d = data.lidar_depth_maps[0][hits]
+        assert (d > 0.5).all() and (d < 50).all()
+
+    def test_split_and_neighbors(self, fake_scene):
+        data = scene.load_scene(fake_scene, cameras=(0, 1))
+        train, test = data.split_train_test(test_stride=2)
+        test_frames = set(data.frame_of_image[test])
+        assert test_frames == {2}
+        assert len(train) + len(test) == 8
+        nbrs = data.neighbor_train_indices(test_stride=2, k=2)
+        for ti, ns in nbrs.items():
+            assert data.cam_of_image[ti] == data.cam_of_image[ns[0]]
+            assert len(ns) == 2
+
+    def test_batch_contract(self, fake_scene):
+        data = scene.load_scene(fake_scene, cameras=(0,))
+        b = data.get_batch(3)
+        for k in ["pixels", "sky_masks", "lidar_depth_map", "viewdirs",
+                  "img_idx", "frame_idx", "normed_time", "camera_to_world",
+                  "intrinsics"]:
+            assert k in b, k
+        assert b["pixels"].shape == (32, 48, 3)
+        assert b["viewdirs"].shape == (32, 48, 3)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(b["viewdirs"]), axis=-1), 1.0,
+            atol=1e-5)
+        b2 = data.get_batch(3, downscale=2)
+        assert b2["pixels"].shape == (16, 24, 3)
+        np.testing.assert_allclose(np.asarray(b2["intrinsics"])[0, 0],
+                                   np.asarray(b["intrinsics"])[0, 0] / 2)
+
+    def test_instances(self, fake_scene):
+        data = scene.load_scene(fake_scene, cameras=(0,))
+        inst = data.instances
+        assert inst is not None and len(inst.ids) == 1
+        assert inst.node_types[0] == "RigidNodes"
+        assert inst.frame_valid.all()
+        # instance moves 2 units/frame in x
+        np.testing.assert_allclose(
+            inst.poses[1, 0, 0, 3] - inst.poses[0, 0, 0, 3], 2.0, atol=1e-5)
+
+    def test_init_objects_and_background(self, fake_scene):
+        data = scene.load_scene(fake_scene, cameras=(0,))
+        obj = scene.get_init_objects(data, "RigidNodes", only_moving=True)
+        assert obj is not None
+        assert obj["quats"].shape == (4, 1, 4)
+        assert obj["means"].shape[0] == obj["point_ids"].shape[0]
+        # local points inside the box
+        assert (np.abs(obj["means"]) <= obj["sizes"][0] / 2 + 1e-5).all()
+
+        bg = scene.get_init_background(data, num_samples=1000, num_near=100,
+                                       num_far=100)
+        assert bg.shape[0] <= 1200 and bg.shape[0] > 200
+        colors = scene.lidar_colors_for_points(data, bg[:50])
+        assert colors.shape == (50, 3)
+        assert (colors >= 0).all() and (colors <= 1).all()
+
+
+class TestImportanceSampler:
+    def test_uniform_before_buffer(self):
+        s = importance.ImageSampler(10, 2, buffer_ratio=1.0)
+        picks = {s.propose(np.arange(10)) for _ in range(50)}
+        assert len(picks) > 3
+
+    def test_error_weighted(self):
+        s = importance.ImageSampler(10, 2, buffer_ratio=1.0, seed=1)
+        errors = np.zeros(10)
+        errors[7] = 100.0
+        s.update_all(errors)
+        picks = [s.propose(np.arange(10)) for _ in range(30)]
+        assert picks.count(7) > 25
+
+    def test_buffer_ratio_zero_is_uniform(self):
+        s = importance.ImageSampler(10, 2, buffer_ratio=0.0, seed=2)
+        s.update_all(np.eye(10)[0] * 100)
+        picks = [s.propose(np.arange(10)) for _ in range(100)]
+        assert picks.count(0) < 30
+
+    def test_start_enhance(self):
+        s = importance.ImageSampler(20, 2, buffer_ratio=1.0,
+                                    start_enhance_weight=5.0, seed=3)
+        s.update_all(np.ones(20))
+        picks = np.array([s.propose(np.arange(20)) for _ in range(400)])
+        early = (picks < 2).mean()
+        assert early > 0.15   # boosted over the uniform 0.1
