@@ -1,0 +1,79 @@
+"""Headline benchmark: rasterize forward+backward throughput per chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Config mirrors the training hot loop at nuScenes scale (BASELINE.md: 900x1600
+loaded at 1/3 => 300x533; background init ~1M points of which a few hundred
+thousand survive culling): N Gaussians rendered + differentiated through the
+full Pallas pipeline on one chip. `vs_baseline` is measured Mpix/s divided by
+a 25 Mpix/s reference point for gsplat fwd+bwd on an A100 at comparable
+scene complexity (no numbers are published in the reference repo —
+BASELINE.json carries "published": {} — so this anchor is an estimate from
+gsplat's own benchmarks; the honest comparison is wall-clock parity on real
+scenes, tracked separately).
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from bilateral_driving_tpu.core import gaussians as G
+    from bilateral_driving_tpu.ops import pipeline
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    # nuScenes 1/3-res frame; modest N on CPU fallback
+    W, H = 544, 320
+    n = 400_000 if on_tpu else 2_000
+    if not on_tpu:
+        W, H = 96, 64
+
+    key = jax.random.key(0)
+    ks = jax.random.split(key, 6)
+    means = jnp.concatenate([
+        jax.random.uniform(ks[0], (n, 2), minval=-2.0, maxval=2.0),
+        jax.random.uniform(ks[1], (n, 1), minval=1.5, maxval=40.0),
+    ], axis=1)
+    quats = G.random_quats(ks[2], n)
+    scales = jnp.exp(jax.random.uniform(ks[3], (n, 3), minval=-5.5,
+                                        maxval=-3.0))
+    opac = jax.random.uniform(ks[4], (n,), minval=0.3, maxval=0.9)
+    colors = jax.random.uniform(ks[5], (n, 3))
+    f = 0.8 * W
+    K = jnp.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    view = jnp.eye(4)
+    cfg = pipeline.RasterizeConfig(isect_capacity=2 ** 21 if on_tpu else 2 ** 13,
+                                   interpret=not on_tpu)
+
+    @jax.jit
+    def fwd_bwd(means, colors, opac):
+        def loss(m, c, o):
+            out = pipeline.rasterize(m, quats, scales, o, c, view, K, W, H,
+                                     cfg)
+            return (jnp.sum(out["rgb"]) + jnp.sum(out["alpha"])
+                    + jnp.sum(out["depth"]))
+
+        l, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(means, colors, opac)
+        return l, g
+
+    l, g = jax.block_until_ready(fwd_bwd(means, colors, opac))
+    iters = 20 if on_tpu else 2
+    t0 = time.time()
+    for _ in range(iters):
+        l, g = fwd_bwd(means, colors, opac)
+    jax.block_until_ready(l)
+    dt = (time.time() - t0) / iters
+    mpix_s = W * H / dt / 1e6
+    baseline_a100 = 25.0
+    print(json.dumps({
+        "metric": "rasterize_fwd_bwd_throughput",
+        "value": round(mpix_s, 3),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / baseline_a100, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from . import scan_utils
+
 TILE = 32          # pixel tile edge; 32x32 = 1024 px = one (8,128) VPU block
 CHUNK = 128        # intersections per rasterizer chunk (MXU contraction dim)
 
@@ -58,7 +60,7 @@ def _fill_monotone(values_at, positions, size):
     `values[searchsorted(positions, m)]`.
     """
     base = jnp.zeros((size,), jnp.int32).at[positions].max(values_at, mode="drop")
-    return jax.lax.cummax(base)
+    return scan_utils.cummax(base)
 
 
 def bin_gaussians(
@@ -87,7 +89,8 @@ def bin_gaussians(
 
     # ---- 2. expand to intersection entries ----
     offsets = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+        [jnp.zeros((1,), jnp.int32),
+         scan_utils.cumsum(counts).astype(jnp.int32)]
     )  # (N+1,)
     m_total = offsets[-1]
     overflow = m_total > isect_capacity
@@ -138,10 +141,13 @@ def bin_gaussians(
     m_aligned_cap = isect_capacity + n_tiles * CHUNK
     pad_delta = _fill_monotone(aligned_starts - starts, starts, isect_capacity)
     dest = jnp.where(entry_valid, m_idx + pad_delta, m_aligned_cap)
-    gid_aligned = jnp.full((m_aligned_cap,), n, jnp.int32).at[dest].set(
-        gid_s, mode="drop")
-    tile_aligned = jnp.zeros((m_aligned_cap,), jnp.int32).at[dest].set(
-        tile_s, mode="drop")
+    # one packed scatter instead of two: low 20 bits gid, high bits tile
+    # (n < 2^20 unpacks to gid=n, tile=0 for untouched padding slots)
+    packed = gid_s | (tile_s << 20)
+    packed_al = jnp.full((m_aligned_cap,), n, jnp.int32).at[dest].set(
+        packed, mode="drop")
+    gid_aligned = packed_al & ((1 << 20) - 1)
+    tile_aligned = (packed_al >> 20) & ((1 << 11) - 1)
 
     return Intersections(
         gauss_ids=gid_aligned,

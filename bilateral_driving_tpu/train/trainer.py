@@ -436,11 +436,11 @@ def init_state(key, cfg: TrainerConfig, params, masks,
         opt_state=opt.init(params), step=jnp.zeros((), jnp.int32), key=key)
 
 
-def train_step(cfg: TrainerConfig, statics, state: TrainerState, batch
-               ) -> Tuple[TrainerState, Dict[str, jax.Array]]:
-    """One jitted optimization step incl. density-stat accumulation and
-    (under lax.cond) periodic refinement."""
-    opt = make_optimizer(cfg, state.params)
+def compute_grads(cfg: TrainerConfig, statics, state: TrainerState, batch):
+    """Gradient computation for one image: returns (total, loss_dict,
+    outputs, g_params, g_dummy). Split out so the multi-chip path can
+    shard_map it over a per-device image batch and psum the grads
+    (parallel/data_parallel.py)."""
     full_statics = merge_statics(statics, state.aux)
     n_total = sum(state.masks[n].shape[0] for n in gaussian_classes(cfg))
     dummy = jnp.zeros((n_total, 2))
@@ -455,7 +455,16 @@ def train_step(cfg: TrainerConfig, statics, state: TrainerState, batch
 
     (total, (loss_dict, outputs)), grads = jax.value_and_grad(
         loss_fn, argnums=(0, 1), has_aux=True)(state.params, dummy)
-    g_params, g_dummy = grads
+    return total, loss_dict, outputs, grads[0], grads[1]
+
+
+def apply_grads_and_refine(cfg: TrainerConfig, statics, state: TrainerState,
+                           batch, total, loss_dict, outputs, g_params,
+                           g_dummy) -> Tuple[TrainerState, Dict]:
+    """Optimizer update + density stats + periodic refinement (the
+    state-mutation half of train_step; grads may come from one image or a
+    psum over devices)."""
+    opt = make_optimizer(cfg, state.params)
 
     updates, opt_state = opt.update(g_params, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -519,3 +528,13 @@ def train_step(cfg: TrainerConfig, statics, state: TrainerState, batch
                              stats=stats, opt_state=opt_state,
                              step=state.step + 1, key=key)
     return new_state, metrics
+
+
+def train_step(cfg: TrainerConfig, statics, state: TrainerState, batch
+               ) -> Tuple[TrainerState, Dict[str, jax.Array]]:
+    """One jitted optimization step incl. density-stat accumulation and
+    (under lax.cond) periodic refinement."""
+    total, loss_dict, outputs, g_params, g_dummy = compute_grads(
+        cfg, statics, state, batch)
+    return apply_grads_and_refine(cfg, statics, state, batch, total,
+                                  loss_dict, outputs, g_params, g_dummy)

@@ -1,0 +1,79 @@
+"""Multi-device SPMD training on the virtual 8-device CPU mesh
+(SURVEY.md §4 fake-cluster harness)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bilateral_driving_tpu.data import synthetic
+from bilateral_driving_tpu.parallel import data_parallel
+from bilateral_driving_tpu.train import density, setup, trainer
+
+
+def test_parallel_step_matches_semantics():
+    n_dev = len(jax.devices())
+    assert n_dev == 8
+    key = jax.random.key(0)
+    scene = synthetic.make_scene(key, num_bg=300, num_frames=8, width=32,
+                                 height=32)
+    cfg = trainer.TrainerConfig(
+        background_model="vanilla", sky_model="none", affine_model="none",
+        isect_capacity=2 ** 12, interpret=True, num_images=8, num_frames=8,
+        sh_degree=0, density=density.DensityConfig(refine_interval=10000),
+        scene_scale=5.0, w_depth=0.0)
+    params = setup.build_models(key, cfg)
+    masks, aux, statics = {}, {}, {}
+    bg, masks["Background"] = setup.build_background(
+        key, 512, scene.bg_means, scene.bg_colors, sh_degree=0)
+    params["Background"] = bg
+    aux["Background"] = {}
+    statics["Background"] = {}
+
+    batches = [synthetic.make_batch(
+        scene, f, jax.random.uniform(jax.random.fold_in(key, f), (32, 32, 3)))
+        for f in range(8)]
+    stacked = data_parallel.stack_batches(batches)
+
+    mesh = data_parallel.make_mesh()
+    stacked = data_parallel.shard_batch(stacked, mesh)
+    state = trainer.init_state(key, cfg, params, masks, aux)
+    pstep = data_parallel.parallel_train_step(cfg, statics, mesh)
+
+    state2, metrics = pstep(state, stacked)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+
+    # parity: parallel mean-gradient == mean of single-image gradients
+    g_single = []
+    for b in batches:
+        _, _, _, gp, _ = trainer.compute_grads(cfg, statics, state, b)
+        g_single.append(gp)
+    g_mean = jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs), 0), *g_single)
+
+    # recover the parallel gradient by rerunning the sharded grad fn alone
+    total, loss_dict, gp_par, gd_par, radii, psnr = jax.jit(
+        data_parallel.shard_map(
+            functools.partial(_grads_probe, cfg, statics),
+            mesh=mesh, in_specs=(jax.sharding.PartitionSpec(),
+                                 jax.sharding.PartitionSpec("data")),
+            out_specs=(jax.sharding.PartitionSpec(),) * 6,
+            check_vma=False))(state, stacked)
+    for ka, (a, b) in enumerate(zip(jax.tree.leaves(gp_par),
+                                    jax.tree.leaves(g_mean))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   err_msg=f"leaf {ka}")
+
+    # a second parallel step keeps shapes/structure
+    state3, m3 = pstep(state2, stacked)
+    assert np.isfinite(float(m3["loss"]))
+
+
+def _grads_probe(cfg, statics, state, batch_slice):
+    batch = jax.tree.map(lambda x: x[0], batch_slice)
+    total, loss_dict, outputs, g_params, g_dummy = trainer.compute_grads(
+        cfg, statics, state, batch)
+    return (jax.lax.pmean(total, "data"), jax.lax.pmean(loss_dict, "data"),
+            jax.lax.pmean(g_params, "data"), jax.lax.psum(g_dummy, "data"),
+            jax.lax.pmax(outputs["info"]["radii"], "data"),
+            jax.lax.pmean(total, "data"))
