@@ -1,0 +1,193 @@
+"""Config -> trainer construction shared by the CLIs.
+
+Maps the YAML schema (configs/*.yaml; keys deliberately parallel the
+reference's omnire_ms_bilateral.yaml groups) onto TrainerConfig + scene
+builders, covering both real drivestudio scene directories and the synthetic
+scene used for smoke tests and benchmarks.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import scene as scene_mod, synthetic
+from ..scene import smpl_model
+from ..train import density, setup, trainer
+from ..utils.config import ConfigDict
+
+
+def trainer_config_from(cfg: ConfigDict, num_images: int,
+                        num_frames: int, scene_scale: float,
+                        interpret: bool = False) -> trainer.TrainerConfig:
+    t = cfg.get("trainer", {})
+    losses = cfg.get("losses", {})
+    dens = cfg.get("density", {})
+    render = cfg.get("render", {})
+    den = density.DensityConfig(**{k: v for k, v in dens.items()
+                                   if k in density.DensityConfig._fields})
+    kw = dict(
+        background_model=t.get("background_model", "vanilla"),
+        use_rigid=t.get("use_rigid", False),
+        use_smpl=t.get("use_smpl", False),
+        use_deformable=t.get("use_deformable", False),
+        sky_model=t.get("sky_model", "envlight"),
+        affine_model=t.get("affine_model", "multiscale_bilateral"),
+        use_camera_opt=t.get("use_camera_opt", False),
+        near_plane=render.get("near_plane", 0.1),
+        far_plane=render.get("far_plane", 1e7),
+        radius_clip=render.get("radius_clip", 0.0),
+        antialiased=render.get("antialiased", False),
+        isect_capacity=int(render.get("isect_capacity", 2 ** 20)),
+        interpret=interpret,
+        sh_degree=t.get("sh_degree", 3),
+        sh_degree_interval=t.get("sh_degree_interval", 1000),
+        envlight_resolution=t.get("envlight_resolution", 512),
+        num_images=num_images,
+        num_frames=num_frames,
+        w_rgb=losses.get("rgb", 0.8),
+        w_ssim=losses.get("ssim", 0.2),
+        w_mask=losses.get("mask", 0.05),
+        w_depth=losses.get("depth", 0.01),
+        lidar_w_decay=losses.get("lidar_w_decay", -1.0),
+        w_affine=losses.get("affine", 1e-5),
+        w_affine_inverse=losses.get("affine_inverse", 0.0),
+        w_opacity_entropy=losses.get("opacity_entropy", 0.0),
+        w_inverse_depth_smoothness=losses.get("inverse_depth_smoothness", 0.0),
+        depth_loss_type=losses.get("depth_loss_type", "l1"),
+        max_depth=losses.get("max_depth", 80.0),
+        w_rigid_temporal=losses.get("rigid_temporal", 0.0),
+        w_smpl_joint_smooth=losses.get("smpl_joint_smooth", 0.0),
+        density=den,
+        scene_scale=scene_scale,
+        max_steps=t.get("max_steps", 30000),
+    )
+    regs = cfg.get("background_reg", None)
+    if regs:
+        kw["background_reg"] = tuple((k, tuple(v.items()))
+                                     for k, v in regs.items())
+    return trainer.TrainerConfig(**kw)
+
+
+def _background_from_scene(key, cfg, data: scene_mod.SceneData, tcfg):
+    init = cfg.get("background_init", {})
+    pts = scene_mod.get_init_background(
+        data,
+        num_samples=init.get("num_lidar_samples", 400_000),
+        num_near=init.get("num_near_pts", 50_000),
+        num_far=init.get("num_far_pts", 50_000))
+    colors = scene_mod.lidar_colors_for_points(data, pts)
+    capacity = int(init.get("capacity", max(2 ** 19, 2 * pts.shape[0])))
+    capacity = max(capacity, pts.shape[0])
+    return setup.build_background(key, capacity, jnp.asarray(pts),
+                                  jnp.asarray(colors),
+                                  sh_degree=tcfg.sh_degree)
+
+
+def build_real_scene(key, cfg: ConfigDict, interpret=False):
+    """Load a drivestudio scene dir and construct everything."""
+    d = cfg.data
+    data = scene_mod.load_scene(
+        d.scene_dir, cameras=tuple(d.get("cameras", (0,))),
+        start_frame=d.get("start_frame", 0), end_frame=d.get("end_frame", -1),
+        downscale=d.get("downscale", 1.0))
+    tcfg = trainer_config_from(cfg, data.num_images, data.num_frames,
+                               data.scene_radius(), interpret)
+    params = setup.build_models(key, tcfg)
+    masks, aux, statics = {}, {}, {}
+
+    bg, masks["Background"] = _background_from_scene(key, cfg, data, tcfg)
+    params["Background"] = bg
+    aux["Background"] = {}
+    statics["Background"] = {}
+
+    if tcfg.use_rigid:
+        obj = scene_mod.get_init_objects(data, "RigidNodes")
+        if obj is not None:
+            cap = int(cfg.get("rigid_capacity", 2 * obj["means"].shape[0]))
+            rp, rs, ra, rm = setup.build_rigid(
+                key, cap, jnp.asarray(obj["means"]),
+                jnp.asarray(scene_mod.lidar_colors_for_points(
+                    data, obj["means"])),
+                jnp.asarray(obj["point_ids"]), jnp.asarray(obj["quats"]),
+                jnp.asarray(obj["trans"]), jnp.asarray(obj["frame_valid"]),
+                jnp.asarray(obj["sizes"]), sh_degree=tcfg.sh_degree)
+            params["RigidNodes"] = rp
+            statics["RigidNodes"] = rs
+            aux["RigidNodes"] = ra
+            masks["RigidNodes"] = rm
+        else:
+            # safe_init_models: drop empty classes (scene_graph.py:73-84)
+            tcfg = dataclasses.replace(tcfg, use_rigid=False)
+
+    if tcfg.use_smpl:
+        built = _smpl_from_scene(key, cfg, data, tcfg)
+        if built is not None:
+            sp, ss, sa, sm = built
+            params["SMPLNodes"] = sp
+            statics["SMPLNodes"] = ss
+            aux["SMPLNodes"] = sa
+            masks["SMPLNodes"] = sm
+        else:
+            tcfg = dataclasses.replace(tcfg, use_smpl=False)
+
+    return tcfg, data, params, statics, aux, masks
+
+
+def _smpl_from_scene(key, cfg, data, tcfg):
+    """SMPL instances from tracked poses; requires the SMPL model pickle
+    (cfg.smpl.model_path) — returns None if missing (gated asset)."""
+    smpl_path = cfg.get_path("smpl.model_path")
+    inst = data.instances
+    if inst is None or smpl_path is None or not os.path.exists(smpl_path):
+        return None
+    sel = [i for i, nt in enumerate(inst.node_types) if nt == "SMPLNodes"]
+    if not sel:
+        return None
+    model = smpl_model.load_model(smpl_path)
+    F, I = data.num_frames, len(sel)
+    from ..core import transforms as T
+
+    poses = inst.poses[:, sel]
+    root_q = np.asarray(T.rotmat_to_quat(jnp.asarray(poses[..., :3, :3])))
+    # without tracked joint angles (humanpose pkl parsing TBD) joints start
+    # at the canonical da-pose
+    body = jnp.broadcast_to(smpl_model.da_pose_quats()[1:], (F, I, 23, 4))
+    return setup.build_smpl(
+        key, model, jnp.zeros((I, 10)),
+        jnp.asarray(root_q)[:, :, None, :], body,
+        jnp.asarray(poses[..., :3, 3]),
+        jnp.asarray(inst.frame_valid[:, sel]), sh_degree=tcfg.sh_degree)
+
+
+def build_synthetic_scene(key, cfg: ConfigDict, interpret=False):
+    """Synthetic scene path (configs/synthetic.yaml; smoke/bench)."""
+    d = cfg.get("data", {})
+    W = d.get("width", 128)
+    H = d.get("height", 96)
+    num_frames = d.get("num_frames", 6)
+    scene = synthetic.make_scene(key, num_bg=d.get("num_bg", 3000),
+                                 num_frames=num_frames, width=W, height=H)
+    tcfg = trainer_config_from(cfg, num_frames, num_frames, 15.0, interpret)
+    params = setup.build_models(key, tcfg)
+    masks, aux, statics = {}, {}, {}
+    bg, masks["Background"] = setup.build_background(
+        key, d.get("bg_capacity", 8192), scene.bg_means, scene.bg_colors,
+        sh_degree=tcfg.sh_degree)
+    params["Background"] = bg
+    aux["Background"] = {}
+    statics["Background"] = {}
+    if tcfg.use_rigid:
+        rp, rs, ra, rm = setup.build_rigid(
+            key, 1024, scene.rigid_means, scene.rigid_colors,
+            scene.rigid_point_ids, scene.rigid_quats, scene.rigid_trans,
+            scene.rigid_fv, scene.rigid_sizes, sh_degree=tcfg.sh_degree)
+        params["RigidNodes"] = rp
+        statics["RigidNodes"] = rs
+        aux["RigidNodes"] = ra
+        masks["RigidNodes"] = rm
+    return tcfg, scene, params, statics, aux, masks

@@ -1,0 +1,151 @@
+"""Training CLI (reference project/tools/train.py).
+
+    python -m bilateral_driving_tpu.tools.train \
+        --config_file bilateral_driving_tpu/configs/omnire_ms_bilateral.yaml \
+        --output_root ./work_dirs --run_name myrun \
+        data.scene_dir=/path/to/processed/scene trainer.max_steps=30000
+
+Config merge: method YAML + optional --dataset_file + CLI dotlist overrides
+(train.py:34-107). Trains with error-buffer importance sampling, periodic
+eval snapshots, JSONL metrics, and full-state orbax checkpoints.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import importance, synthetic
+from ..eval import render_loop
+from ..train import checkpoint, trainer
+from ..utils import config as config_lib
+from ..utils.logging import MetricLogger, setup_logging, logger
+from . import common
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", required=True)
+    p.add_argument("--dataset_file", default=None)
+    p.add_argument("--output_root", default="./work_dirs")
+    p.add_argument("--project", default="bilateral_driving_tpu")
+    p.add_argument("--run_name", default="run")
+    p.add_argument("--resume_from", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("opts", nargs="*", help="dotlist overrides key=value")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    cfg = config_lib.load_config(args.config_file, args.dataset_file,
+                                 args.opts)
+    log_dir = os.path.join(args.output_root, args.project, args.run_name)
+    os.makedirs(log_dir, exist_ok=True)
+    setup_logging(log_dir)
+    config_lib.save_config(cfg, os.path.join(log_dir, "config.yaml"))
+
+    key = jax.random.key(args.seed)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    synthetic_mode = cfg.get_path("data.synthetic", False)
+
+    if synthetic_mode:
+        tcfg, scene, params, statics, aux, masks = \
+            common.build_synthetic_scene(key, cfg, interpret)
+        num_frames = scene.num_frames
+        # pre-render GT targets once so training has something to fit
+        full = trainer.merge_statics(statics, aux)
+        fwd = jax.jit(functools.partial(trainer.forward, tcfg))
+        batches = []
+        for f in range(num_frames):
+            b = synthetic.make_batch(
+                scene, f, jnp.zeros((scene.height, scene.width, 3)))
+            out = fwd(params, full, masks, b, jnp.asarray(0))
+            b["pixels"] = jnp.clip(out["rgb"], 0, 1)
+            batches.append(b)
+        get_batch = lambda idx, downscale=1: batches[idx]
+        train_indices = np.arange(num_frames)
+        num_images = num_frames
+        data = None
+        neighbor_map = {}
+    else:
+        tcfg, data, params, statics, aux, masks = \
+            common.build_real_scene(key, cfg, interpret)
+        test_stride = cfg.get_path("data.test_image_stride", 10)
+        train_indices, test_indices = data.split_train_test(test_stride)
+        neighbor_map = data.neighbor_train_indices(test_stride)
+        get_batch = data.get_batch
+        num_images = data.num_images
+
+    logger.info(f"classes: {trainer.gaussian_classes(tcfg)}  "
+                f"images: {num_images}")
+
+    state = trainer.init_state(key, tcfg, params, masks, aux)
+    if args.resume_from:
+        state = checkpoint.restore_checkpoint(args.resume_from, state)
+        logger.info(f"resumed from {args.resume_from} @ step {int(state.step)}")
+
+    step_fn = jax.jit(functools.partial(trainer.train_step, tcfg, statics))
+    sampler = importance.ImageSampler(
+        num_images, cfg.get_path("data.num_cams", 1),
+        buffer_ratio=cfg.get_path("sampler.buffer_ratio", 0.5),
+        start_enhance_weight=cfg.get_path("sampler.start_enhance_weight", 1.0),
+        seed=args.seed)
+
+    max_steps = tcfg.max_steps
+    ckpt_every = cfg.get_path("logging.ckpt_every", 10000)
+    log_every = cfg.get_path("logging.log_every", 100)
+    mlogger = MetricLogger(output_file=os.path.join(log_dir, "metrics.json"))
+
+    t0 = time.time()
+    start_step = int(state.step)
+    for step in range(start_step, max_steps):
+        idx = sampler.propose(train_indices)
+        batch = get_batch(int(idx))
+        state, metrics = step_fn(state, batch)
+        if not np.isfinite(float(metrics["loss"])):
+            raise RuntimeError(f"non-finite loss at step {step}: "
+                               f"{ {k: float(v) for k, v in metrics.items()} }")
+        sampler.update_error(int(idx),
+                             float(jnp.maximum(1e-6, metrics["loss"])))
+        if step % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()
+                 if not k.startswith("loss/")}
+            mlogger.update(**m)
+            mlogger.dump(step)
+            logger.info(
+                f"step {step}/{max_steps} " +
+                " ".join(f"{k}={v:.4f}" for k, v in m.items()) +
+                f" ({(time.time() - t0) / max(step - start_step, 1):.3f}s/it)")
+        if step > 0 and step % ckpt_every == 0:
+            path = checkpoint.save_checkpoint(
+                os.path.join(log_dir, "checkpoints"), state)
+            logger.info(f"checkpoint: {path}")
+
+    path = checkpoint.save_checkpoint(
+        os.path.join(log_dir, "checkpoints"), state, step=max_steps)
+    logger.info(f"final checkpoint: {path}")
+
+    # final quick eval on the test split (real scenes)
+    if data is not None:
+        _, test_indices = data.split_train_test(
+            cfg.get_path("data.test_image_stride", 10))
+        if len(test_indices):
+            results = render_loop.render_images(
+                tcfg, state, statics, data, test_indices[:20],
+                neighbor_map=neighbor_map, compute_metrics=True)
+            agg = render_loop.aggregate_metrics(results["metrics"])
+            logger.info(f"test metrics: {agg}")
+            import json
+
+            with open(os.path.join(log_dir, "test_metrics.json"), "w") as f:
+                json.dump(agg, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
