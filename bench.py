@@ -44,7 +44,7 @@ def main():
     f = 0.8 * W
     K = jnp.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
     view = jnp.eye(4)
-    cfg = pipeline.RasterizeConfig(isect_capacity=2 ** 21 if on_tpu else 2 ** 13,
+    cfg = pipeline.RasterizeConfig(isect_capacity=2 ** 20 if on_tpu else 2 ** 13,
                                    interpret=not on_tpu)
 
     @jax.jit
@@ -60,9 +60,10 @@ def main():
 
     l, g = jax.block_until_ready(fwd_bwd(means, colors, opac))
     iters = 20 if on_tpu else 2
+    # vary inputs per iteration: the TPU tunnel caches identical executions
     t0 = time.time()
-    for _ in range(iters):
-        l, g = fwd_bwd(means, colors, opac)
+    for i in range(1, iters + 1):
+        l, g = fwd_bwd(means + i * 1e-5, colors, opac)
     jax.block_until_ready(l)
     dt = (time.time() - t0) / iters
     mpix_s = W * H / dt / 1e6

@@ -42,6 +42,21 @@ def num_tiles(width: int, height: int) -> tuple[int, int]:
     return (-(-width // TILE), -(-height // TILE))
 
 
+def _tile_bits(n_tiles: int) -> int:
+    bits = 1
+    while (1 << bits) <= n_tiles:
+        bits += 1
+    return bits
+
+
+def quantize_depth_like_sort(depths, n_tiles: int):
+    """Depths quantized exactly as the packed sort key sees them (test
+    oracle uses this to reproduce the tiled path's compositing order)."""
+    shift = _tile_bits(n_tiles)
+    bits = jax.lax.bitcast_convert_type(jnp.maximum(depths, 0.0), jnp.int32)
+    return jax.lax.bitcast_convert_type((bits >> shift) << shift, jnp.float32)
+
+
 class Intersections(NamedTuple):
     gauss_ids: jax.Array    # (M_aligned,) int32 in [0, N]; N = dummy padding
     isect_tile: jax.Array   # (M_aligned,) int32 owning tile id (0 for padding)
@@ -50,6 +65,10 @@ class Intersections(NamedTuple):
     tile_starts: jax.Array  # (nT,) int32 chunk-aligned start offsets
     num_isects: jax.Array   # () int32 total true intersections (pre-alignment)
     overflow: jax.Array     # () bool: isect_capacity exceeded (render truncated)
+    dest: jax.Array         # (capacity,) expansion index -> aligned slot (or
+    #                         m_aligned_cap for invalid); grouped by gaussian
+    offsets: jax.Array      # (N+1,) per-gaussian expansion segment boundaries
+    #                         (clamped to capacity); used by the gather VJP
 
 
 def _fill_monotone(values_at, positions, size):
@@ -100,32 +119,50 @@ def bin_gaussians(
                        isect_capacity)
     entry_valid = m_idx < m_total
 
-    # one packed row-gather for everything the entry needs (5 separate 1-D
-    # gathers cost ~2x more than one (N, 4) row gather on TPU)
+    # one packed row-gather for everything the entry needs (separate 1-D
+    # gathers cost ~2x more than one (N, 5) row gather on TPU); the
+    # per-gaussian expansion start rides along to avoid a second segment fill
     table = jnp.stack(
         [tx0.astype(jnp.float32), ty0.astype(jnp.float32),
-         span_w.astype(jnp.float32), depths], axis=1)
+         span_w.astype(jnp.float32), depths,
+         offsets[:-1].astype(jnp.float32)], axis=1)
     gt = table[g]
     g_tx0 = gt[:, 0].astype(jnp.int32)
     g_ty0 = gt[:, 1].astype(jnp.int32)
     g_sw = jnp.maximum(gt[:, 2].astype(jnp.int32), 1)
 
-    start_fill = _fill_monotone(offsets[:-1], offsets[:-1], isect_capacity)
-    k = m_idx - start_fill
+    k = m_idx - gt[:, 4].astype(jnp.int32)
     ty = g_ty0 + k // g_sw
     tx = g_tx0 + k % g_sw
-    tile = jnp.where(entry_valid, ty * ntx + tx, n_tiles)
-    depth_key = jnp.where(entry_valid, gt[:, 3], jnp.inf)
+    tile = ty * ntx + tx
 
-    # ---- 3. lexicographic sort by (tile, depth) ----
-    tile_s, _, gid_s = jax.lax.sort(
-        (tile, depth_key, g), dimension=0, num_keys=2, is_stable=False
+    # ---- 3. sort by one packed 31-bit key: tile | truncated depth bits.
+    # Positive-float bit patterns are order-preserving, so the top
+    # (31 - tile_bits) bits of the depth float give a monotone depth ordering
+    # within each tile (23 bits at typical tile counts — ties only between
+    # depths equal to ~1e-6 relative, which composite in arbitrary order,
+    # within gsplat's own guarantees). One key + two payloads sorts ~2x
+    # faster than the lexicographic (tile, depth) multi-operand sort.
+    tile_bits = _tile_bits(n_tiles)
+    depth_shift = tile_bits
+    depth_bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(depths, 0.0), jnp.int32)[g]
+    key = (tile << (31 - tile_bits)) | (depth_bits >> depth_shift)
+    key = jnp.where(entry_valid, key, jnp.int32(2 ** 31 - 1))
+    key_s, gid_s, eidx_s = jax.lax.sort(
+        (key, g, m_idx), dimension=0, num_keys=1, is_stable=False
     )
+    tile_s = jnp.where(key_s == 2 ** 31 - 1, n_tiles, key_s >> (31 - tile_bits))
 
     # ---- 4. per-tile ranges ----
+    # first sorted index per tile via a unique-index boundary scatter (a
+    # colliding scatter-min over 2M entries costs ~2x more)
     m_total_c = jnp.minimum(m_total, isect_capacity)
-    first = jnp.full((n_tiles + 1,), m_total_c, jnp.int32).at[tile_s].min(
-        m_idx, mode="drop")
+    is_boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), tile_s[1:] != tile_s[:-1]])
+    b_idx = jnp.where(is_boundary, tile_s, n_tiles + 1)
+    first = jnp.full((n_tiles + 1,), m_total_c, jnp.int32).at[b_idx].set(
+        m_idx, mode="drop", unique_indices=True)
     starts = jax.lax.cummin(first[::-1])[::-1][:-1]
     ends = jnp.concatenate([starts[1:], m_total_c[None]])
     cnt = ends - starts
@@ -149,6 +186,10 @@ def bin_gaussians(
     gid_aligned = packed_al & ((1 << 20) - 1)
     tile_aligned = (packed_al >> 20) & ((1 << 11) - 1)
 
+    # expansion index -> aligned slot (invalid entries point past the end)
+    dest_exp = jnp.full((isect_capacity,), m_aligned_cap, jnp.int32).at[
+        eidx_s].set(dest, mode="drop")
+
     return Intersections(
         gauss_ids=gid_aligned,
         isect_tile=tile_aligned,
@@ -157,4 +198,6 @@ def bin_gaussians(
         tile_starts=aligned_starts,
         num_isects=m_total,
         overflow=overflow,
+        dest=dest_exp,
+        offsets=jnp.minimum(offsets, isect_capacity),
     )

@@ -76,6 +76,50 @@ _render_tiles.defvjp(_render_tiles_fwd, _render_tiles_bwd)
 
 
 # --------------------------------------------------------------------------
+# per-Gaussian -> per-intersection gather with a scan-based VJP
+# --------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _gather_rows(table, gid, dest_exp, offsets):
+    """table[gid] with a fast backward: XLA's scatter-add for the gather VJP
+    runs at ~10 M rows/s on TPU (hundreds of ms per step at driving-scene
+    scale). Instead, cotangent rows are re-ordered into *expansion order*
+    (grouped by Gaussian, boundaries = `offsets` from binning) via one row
+    gather, then segment-summed with a hierarchical prefix scan — O(M)
+    bandwidth, no scatter."""
+    return table[gid]
+
+
+def _gather_rows_fwd(table, gid, dest_exp, offsets):
+    return table[gid], (table.shape, gid, dest_exp, offsets)
+
+
+def _gather_rows_bwd(res, d):
+    from . import scan_utils
+
+    (tshape, gid, dest_exp, offsets) = res
+    m_al, c = d.shape
+    cap = dest_exp.shape[0]
+    m_total = offsets[-1]
+    # cotangents in expansion order; out-of-range slots clamp -> mask them
+    ds = d[jnp.clip(dest_exp, 0, m_al - 1)]
+    valid = (jnp.arange(cap, dtype=jnp.int32) < m_total)[:, None]
+    ds = jnp.where(valid, ds, 0.0)
+    cs = scan_utils.cumsum_rows(ds.T)                      # (C, cap) inclusive
+    cs = jnp.concatenate([jnp.zeros((c, 1), d.dtype), cs], axis=1)
+    seg = cs[:, offsets]                                    # (C, N+1)
+    d_table = (seg[:, 1:] - seg[:, :-1]).T                  # (N, C)
+    d_table = jnp.concatenate(
+        [d_table, jnp.zeros((tshape[0] - d_table.shape[0], c), d.dtype)])
+    int_zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return d_table, int_zero(gid), int_zero(dest_exp), int_zero(offsets)
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+# --------------------------------------------------------------------------
 # public API
 # --------------------------------------------------------------------------
 
@@ -140,7 +184,7 @@ def rasterize(
     table = jnp.concatenate([table, jnp.zeros((1, table.shape[1]), table.dtype)])
 
     gid = isect.gauss_ids
-    gf = table[gid]                          # (M_aligned, 10) — VJP segment-sums
+    gf = _gather_rows(table, gid, isect.dest, isect.offsets)  # (M_aligned, 10)
 
     ntx, _ = num_tiles(width, height)
     ox = (isect.isect_tile % ntx).astype(jnp.float32) * TILE

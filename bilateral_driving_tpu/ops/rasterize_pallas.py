@@ -272,36 +272,46 @@ def _bwd_kernel(starts_ref, chunks_ref, feats_hbm, gout_ref, dfeats_hbm,
         def _():
             dma_out(slot, c + 2).wait()
 
-        chunkf = buf[slot]
-        alpha, l1m = _chunk_alphas(chunkf, basis)
         tc_in = tc_store[pl.ds(c, 1), :]
-        s_excl = _dot(ltri, l1m)
-        trans = jnp.exp(s_excl) * tc_in
-        w = alpha * trans
+        alive = jnp.max(tc_in) > STOP_T
 
-        colors_t = chunkf[8:16, :]                           # (8, CHUNK)
-        # G[k, p] = Σ_ch colors_t[ch, k] * g8[ch, p]
-        G = _dot(colors_t, g8, contract=((0,), (0,)))        # (CHUNK, PIX)
-        wG = w * G
-        suffix = _dot(utri, wG) + carry[...]
-        # gradient of loss wrt alpha_k (pre-gating)
-        one_m = jnp.maximum(1.0 - alpha, 1.0 - MAX_ALPHA)
-        d_alpha = trans * G - suffix / one_m
-        # gate: no gradient where alpha clamped at MAX_ALPHA or zeroed
-        gate = (alpha > 0.0) & (alpha < MAX_ALPHA)
-        d_alpha = jnp.where(gate, d_alpha, 0.0)
+        @pl.when(alive)
+        def _():
+            chunkf = buf[slot]
+            alpha, l1m = _chunk_alphas(chunkf, basis)
+            s_excl = _dot(ltri, l1m)
+            trans = jnp.exp(s_excl) * tc_in
+            w = alpha * trans
 
-        # α = exp(-σ′) ⇒ dσ′ = -α·dα; gradient wrt transposed coefficients:
-        # d_coef_t[r, k] = Σ_p basis[r, p] * d_sigma[k, p]
-        d_sigma = -(alpha * d_alpha)
-        d_coef_t = _dot(basis, d_sigma, contract=((1,), (1,)))  # (8, CHUNK)
-        # d_colors_t[ch, k] = Σ_p g8[ch, p] * w[k, p]
-        d_colors_t = _dot(g8, w, contract=((1,), (1,)))         # (8, CHUNK)
+            colors_t = chunkf[8:16, :]                       # (8, CHUNK)
+            # G[k, p] = Σ_ch colors_t[ch, k] * g8[ch, p]
+            G = _dot(colors_t, g8, contract=((0,), (0,)))    # (CHUNK, PIX)
+            wG = w * G
+            suffix = _dot(utri, wG) + carry[...]
+            # gradient of loss wrt alpha_k (pre-gating)
+            one_m = jnp.maximum(1.0 - alpha, 1.0 - MAX_ALPHA)
+            d_alpha = trans * G - suffix / one_m
+            # gate: no gradient where alpha clamped at MAX_ALPHA or zeroed
+            gate = (alpha > 0.0) & (alpha < MAX_ALPHA)
+            d_alpha = jnp.where(gate, d_alpha, 0.0)
 
-        dbuf[slot] = jnp.concatenate([d_coef_t, d_colors_t], axis=0)
+            # α = exp(-σ′) ⇒ dσ′ = -α·dα; gradient wrt transposed coefs:
+            # d_coef_t[r, k] = Σ_p basis[r, p] * d_sigma[k, p]
+            d_sigma = -(alpha * d_alpha)
+            d_coef_t = _dot(basis, d_sigma, contract=((1,), (1,)))
+            # d_colors_t[ch, k] = Σ_p g8[ch, p] * w[k, p]
+            d_colors_t = _dot(g8, w, contract=((1,), (1,)))
+
+            dbuf[slot] = jnp.concatenate([d_coef_t, d_colors_t], axis=0)
+            carry[...] += _dot(jnp.ones((1, CHUNK), jnp.float32), wG)
+
+        @pl.when(jnp.logical_not(alive))
+        def _():
+            # early-terminated region: contributions below STOP_T are
+            # treated as zero in forward; write zero gradients
+            dbuf[slot] = jnp.zeros_like(dbuf[slot])
+
         dma_out(slot, c).start()
-
-        carry[...] += _dot(jnp.ones((1, CHUNK), jnp.float32), wG)
         return 0
 
     jax.lax.fori_loop(0, nchunks, bwd_body, 0)

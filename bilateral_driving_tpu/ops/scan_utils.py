@@ -47,3 +47,19 @@ def cummin(x: jax.Array) -> jax.Array:
     fill = jnp.iinfo(x.dtype).max if jnp.issubdtype(x.dtype, jnp.integer) \
         else jnp.inf
     return _hier(x, fill, jax.lax.cummin, jnp.minimum)
+
+
+def cumsum_rows(x: jax.Array) -> jax.Array:
+    """Row-wise inclusive cumsum of (R, M): each row scanned independently
+    with the same hierarchical layout."""
+    r, m = x.shape
+    rows = -(-m // _LANES)
+    pad = rows * _LANES - m
+    x2 = jnp.pad(x, ((0, 0), (0, pad))).reshape(r * rows, _LANES)
+    scanned = jnp.cumsum(x2, axis=1)
+    totals = scanned[:, -1].reshape(r, rows)
+    carry = jnp.cumsum(totals, axis=1)
+    carry = jnp.concatenate([jnp.zeros((r, 1), x.dtype), carry[:, :-1]],
+                            axis=1)
+    out = scanned.reshape(r, rows, _LANES) + carry[:, :, None]
+    return out.reshape(r, rows * _LANES)[:, :m]

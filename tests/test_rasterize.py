@@ -45,8 +45,11 @@ def oracle_render(params):
     proj = projection.project(means, quats, scales, viewmat, K, WIDTH, HEIGHT)
     op_eff = opac * proj.compensations * proj.valid
     rgbd = jnp.concatenate([colors, proj.depths[:, None]], axis=1)
+    ntx, nty = binning.num_tiles(WIDTH, HEIGHT)
+    # composite in the same (quantized) depth order as the tiled sort key
+    depth_order = binning.quantize_depth_like_sort(proj.depths, ntx * nty)
     accum, alpha = rasterize_reference(
-        proj.means2d, proj.conics, proj.depths, proj.radii, proj.valid,
+        proj.means2d, proj.conics, depth_order, proj.radii, proj.valid,
         op_eff, rgbd, WIDTH, HEIGHT)
     return accum, alpha
 
