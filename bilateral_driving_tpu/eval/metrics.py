@@ -105,6 +105,21 @@ def chamfer_distance(a: np.ndarray, b: np.ndarray,
     return float(da.mean() + db.mean())
 
 
+def per_class_chamfer(pred_depth, gt_depth, K, c2w, class_masks: Dict,
+                      percentile=None) -> Dict[str, float]:
+    """Chamfer restricted to semantic regions (video_utils.py:363-536
+    per-class variants): depth maps masked per class before backprojection."""
+    out = {}
+    for name, m in class_masks.items():
+        if m is None or m.sum() == 0:
+            continue
+        pd = depth_to_points(pred_depth * m, K, c2w)
+        pg = depth_to_points(gt_depth * m, K, c2w)
+        out[f"chamfer_{name}"] = chamfer_distance(pd, pg,
+                                                  percentile=percentile)
+    return out
+
+
 def depth_metrics(pred_depth: np.ndarray, gt_depth: np.ndarray,
                   max_depth: float = 80.0) -> Dict[str, float]:
     """RMSE + median squared error on lidar hits (video_utils.py:399-410)."""

@@ -34,7 +34,8 @@ def render_images(cfg, state, statics, data, image_indices,
                   compute_metrics: bool = True,
                   compute_geo: bool = False,
                   downscale: int = 1,
-                  decompose_classes: bool = False) -> Dict:
+                  decompose_classes: bool = False,
+                  color_correct_eval: bool = False) -> Dict:
     """Render the given dataset image indices; returns dict of lists:
     rgbs, gt_rgbs, depths, opacities, per-image metrics."""
     full_statics = trainer_mod.merge_statics(statics, state.aux)
@@ -57,6 +58,14 @@ def render_images(cfg, state, statics, data, image_indices,
                           state.step)
         pred = np.clip(np.asarray(o["rgb"]), 0, 1)
         gt = np.asarray(batch["pixels"])
+        if color_correct_eval:
+            # bilateral-paper-style eval: least-squares color match before
+            # metrics (video_utils_color_correction.py:201)
+            from ..models import bilateral as bilateral_mod
+            import jax.numpy as _jnp
+
+            pred = np.asarray(bilateral_mod.color_correct(
+                _jnp.asarray(pred), _jnp.asarray(gt)))
         out["rgbs"].append(pred)
         out["gt_rgbs"].append(gt)
         out["depths"].append(np.asarray(o["depth"][..., 0]))
@@ -85,6 +94,12 @@ def render_images(cfg, state, statics, data, image_indices,
                 m["chamfer"] = metrics_mod.chamfer_distance(pd, pg)
                 m["chamfer_p97"] = metrics_mod.chamfer_distance(
                     pd, pg, percentile=97)
+                m.update(metrics_mod.per_class_chamfer(
+                    np.asarray(o["depth"][..., 0]) * (gt_depth > 0),
+                    gt_depth, K, c2w,
+                    {"dynamic": _ds(data.dynamic_masks[idx], downscale),
+                     "human": _ds(data.human_masks[idx], downscale),
+                     "vehicle": _ds(data.vehicle_masks[idx], downscale)}))
             out["metrics"].append(m)
 
         if decompose_classes:

@@ -288,6 +288,124 @@ def neural_bilateral_affines(params, rgb: jax.Array, img_idx,
     return mats.reshape(h, w, 3, 4)
 
 
+def init_multiscale_neural(key, num_images: int,
+                           grid_sizes: Sequence[Sequence[int]] = DEFAULT_MS_GRID,
+                           feature_dim: int = 8, hidden_dim: int = 64):
+    """MultiScaleNeuralBilateralAffineTransform (modules.py:690-820): a
+    feature-grid pyramid with one shared zero-init MLP head per level."""
+    from . import encoders
+
+    keys = jax.random.split(key, len(grid_sizes))
+    return {
+        "levels": [
+            {
+                "grids": jnp.zeros((num_images, feature_dim, gw, gy, gx)),
+                "head": encoders.mlp_init(k, feature_dim, 12, 2, hidden_dim,
+                                          zero_init_last=True),
+            }
+            for k, (gx, gy, gw) in zip(keys, grid_sizes)
+        ]
+    }
+
+
+def multiscale_neural_affines(params, rgb: jax.Array, img_idx,
+                              guidance_factor=DEFAULT_GUIDANCE_FACTOR,
+                              neighbor_idx=None) -> jax.Array:
+    """Summed per-level affines from sliced features through each level's
+    head; applied residually by the trainer (scene_graph.py:99-106)."""
+    from . import encoders
+
+    h, w, _ = rgb.shape
+    total = jnp.zeros((h, w, 3, 4), rgb.dtype)
+    for level, factor in zip(params["levels"], guidance_factor):
+        hd, wd = h // factor, w // factor
+        rgb_low = resize_bilinear(rgb, hd, wd) if factor != 1 else rgb
+        xy = uv_grid(hd, wd, rgb.dtype)
+        coords = jnp.concatenate(
+            [xy * 2.0 - 1.0, rgb_to_gray(rgb_low)[..., None]], axis=-1)
+        if neighbor_idx is None:
+            feats = grid_sample_3d(level["grids"][img_idx], coords)
+        else:
+            feats = jnp.mean(jax.vmap(
+                lambda i, g=level["grids"]: grid_sample_3d(g[i], coords))(
+                    neighbor_idx), axis=0)
+        mats = encoders.mlp_apply(level["head"], feats).reshape(hd, wd, 12)
+        if (hd, wd) != (h, w):
+            mats = resize_bilinear(mats, h, w)
+        total = total + mats.reshape(h, w, 3, 4)
+    return total
+
+
+def multiscale_neural_tv_loss(params, grid_sizes=DEFAULT_MS_GRID):
+    loss = 0.0
+    for level, (gx, gy, gw) in zip(params["levels"], grid_sizes):
+        loss = loss + total_variation_loss(level["grids"]) * (
+            0.5 * (gx * gy * gw) ** 0.5)
+    return loss
+
+
+# --------------------------------------------------------------------------
+# low-rank CP-decomposed 4D bilateral grid (lib_bilagrid.py:497-664)
+# --------------------------------------------------------------------------
+
+
+def init_cp4d(key, rank: int = 5, grid_x: int = 16, grid_y: int = 16,
+              grid_z: int = 16, grid_w: int = 8, out_dim: int = 12):
+    """BilateralGridCP4D: a rank-R CP factorization over (x, y, z, gray) —
+    four 1-D factor banks instead of a dense 4-D grid. The reference
+    initializes via tensorly parafac of an identity grid; an equivalent
+    closed form: factors that sum to the identity affine at every sample
+    (rank-1 identity component + noise-seeded spare ranks)."""
+    ks = jax.random.split(key, 4)
+    ident = jnp.array([1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0], jnp.float32)
+
+    def factor(k, size):
+        f = jnp.zeros((rank, size, out_dim))
+        f = f.at[0].set(1.0)
+        noise = 1e-3 * jax.random.normal(k, (rank - 1, size, out_dim))
+        return f.at[1:].add(noise)
+
+    fx = factor(ks[0], grid_x)
+    fy = factor(ks[1], grid_y)
+    fz = factor(ks[2], grid_z)
+    fw = factor(ks[3], grid_w)
+    # rank 0 carries the identity: fx0=fy0=fz0=1, fw0=ident -> product = ident
+    fw = fw.at[0].set(ident[None, :])
+    return {"fx": fx, "fy": fy, "fz": fz, "fw": fw}
+
+
+def _lerp_1d(bank: jax.Array, coord: jax.Array) -> jax.Array:
+    """bank (R, S, D) sampled at coord (...,) in [-1, 1], align-corners.
+    Returns (..., R, D)."""
+    s = bank.shape[1]
+    pix = jnp.clip((coord + 1.0) * 0.5 * (s - 1), 0.0, s - 1)
+    i0 = jnp.clip(jnp.floor(pix), 0, max(s - 2, 0)).astype(jnp.int32)
+    w = (pix - i0)[..., None, None]
+    lo = jnp.moveaxis(bank[:, i0], 0, -2)        # (..., R, D)
+    hi = jnp.moveaxis(bank[:, jnp.clip(i0 + 1, 0, s - 1)], 0, -2)
+    return lo * (1 - w) + hi * w
+
+
+def cp4d_affines(params, xyz: jax.Array, rgb: jax.Array) -> jax.Array:
+    """Slice the CP grid at world xyz (normalized to [-1,1]) and gray
+    guidance: (..., 3, 4) affines = sum over ranks of the factor products."""
+    gray = rgb_to_gray(rgb)
+    vx = _lerp_1d(params["fx"], xyz[..., 0])
+    vy = _lerp_1d(params["fy"], xyz[..., 1])
+    vz = _lerp_1d(params["fz"], xyz[..., 2])
+    vw = _lerp_1d(params["fw"], gray)
+    mats = jnp.sum(vx * vy * vz * vw, axis=-2)
+    return mats.reshape(*xyz.shape[:-1], 3, 4)
+
+
+def cp4d_tv_loss(params):
+    tv = 0.0
+    for k in ("fx", "fy", "fz", "fw"):
+        d = jnp.diff(params[k], axis=1)
+        tv = tv + jnp.mean(d * d)
+    return tv
+
+
 # --------------------------------------------------------------------------
 # eval-time color correction (lib_bilagrid.py:56-122)
 # --------------------------------------------------------------------------

@@ -130,6 +130,25 @@ def build_models(key, cfg: trainer_mod.TrainerConfig):
         gx, gy, gw = cfg.bilateral_grid_shape
         out["Affine"] = bilateral.init_neural_bilateral(
             k2, cfg.num_images, gx, gy, gw, feature_dim=8, hidden_dim=64)
+    elif cfg.affine_model == "multiscale_neural_bilateral":
+        out["Affine"] = bilateral.init_multiscale_neural(
+            k2, cfg.num_images, cfg.ms_grid)
     if cfg.use_camera_opt:
         out["CamPose"] = camera_opt.init_camera_opt(k3, cfg.num_images)
+    if cfg.use_camera_perturb:
+        out["CamPosePerturb"] = camera_opt.init_camera_opt(
+            jax.random.fold_in(k3, 1), cfg.num_images, std=0.01)
     return out
+
+
+def build_deformgs_background(key, capacity, means, colors, aabb_center,
+                              aabb_radius, sh_degree=3, net_depth=8,
+                              net_width=256):
+    """Background DeformableGS (deformgs.py): canonical gaussians + a
+    DeformNetwork stored alongside; statics carry the contraction AABB."""
+    params, mask = build_background(key, capacity, means, colors, sh_degree)
+    params["deform_net"] = deform.init_deform(
+        jax.random.fold_in(key, 7), depth=net_depth, width=net_width)
+    statics = {"aabb_center": jnp.asarray(aabb_center),
+               "aabb_scale": jnp.asarray(aabb_radius)}
+    return params, statics, mask

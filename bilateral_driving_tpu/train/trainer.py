@@ -40,7 +40,7 @@ from . import density, losses, schedules
 @dataclasses.dataclass(frozen=True)
 class TrainerConfig:
     # class toggles
-    background_model: str = "vanilla"      # vanilla | pvg | none
+    background_model: str = "vanilla"      # vanilla | pvg | deformgs | none
     use_rigid: bool = False
     use_smpl: bool = False
     use_deformable: bool = False
@@ -48,6 +48,7 @@ class TrainerConfig:
     affine_model: str = "multiscale_bilateral"  # multiscale_bilateral |
     #                                     bilateral | affine | neural_bilateral | none
     use_camera_opt: bool = False
+    use_camera_perturb: bool = False       # CamPosePerturb (random-init deltas)
 
     # render
     near_plane: float = 0.1
@@ -167,6 +168,14 @@ def collect_gaussians(cfg: TrainerConfig, params, statics, masks, cam_origin,
         bundles["Background"] = pvg.gaussians(
             params["Background"], masks["Background"], cam_origin, step, t,
             pvg.PVGConfig(cfg.sh_degree, cfg.sh_degree_interval))
+    elif cfg.background_model == "deformgs":
+        bg = params["Background"]
+        bundles["Background"] = deformable.deformgs_gaussians(
+            bg, bg["deform_net"], masks["Background"], cam_origin, step, t,
+            statics["Background"].get("aabb_center", jnp.zeros(3)),
+            statics["Background"].get("aabb_scale", jnp.ones(())),
+            deformable.DeformableConfig(cfg.sh_degree,
+                                        cfg.sh_degree_interval))
     if cfg.use_rigid:
         bundles["RigidNodes"] = rigid.gaussians(
             params["RigidNodes"], statics["RigidNodes"], masks["RigidNodes"],
@@ -208,6 +217,9 @@ def forward(cfg: TrainerConfig, params, statics, masks, batch,
     """
     h, w = batch["pixels"].shape[:2]
     c2w = batch["camera_to_world"]
+    if cfg.use_camera_perturb and not novel_view and not in_test_set:
+        c2w = camera_opt.apply_camera_opt(params["CamPosePerturb"], c2w,
+                                          batch["img_idx"])
     if cfg.use_camera_opt and not novel_view and not in_test_set:
         c2w = camera_opt.apply_camera_opt(params["CamPose"], c2w,
                                           batch["img_idx"])
@@ -278,6 +290,12 @@ def forward(cfg: TrainerConfig, params, statics, masks, batch,
             neighbor_idx=neighbor_idx if in_test_set else None)
         # residual application (scene_graph.py:99-106)
         outputs["rgb"] = bilateral.apply_affine(mats, original_rgb) + original_rgb
+    elif aff == "multiscale_neural_bilateral":
+        mats = bilateral.multiscale_neural_affines(
+            params["Affine"], original_rgb, batch["img_idx"],
+            cfg.guidance_factor,
+            neighbor_idx=neighbor_idx if in_test_set else None)
+        outputs["rgb"] = bilateral.apply_affine(mats, original_rgb) + original_rgb
     else:
         outputs["rgb"] = original_rgb
     return outputs
@@ -337,6 +355,9 @@ def compute_losses(cfg: TrainerConfig, params, statics, masks, outputs,
     elif aff in ("bilateral", "neural_bilateral"):
         loss["affine"] = cfg.w_affine * \
             bilateral.bilateral_tv_loss(params["Affine"])
+    elif aff == "multiscale_neural_bilateral":
+        loss["affine"] = cfg.w_affine * \
+            bilateral.multiscale_neural_tv_loss(params["Affine"], cfg.ms_grid)
     elif aff == "affine":
         loss["affine"] = cfg.w_affine * \
             affine_mod.identity_reg_loss(outputs["affine_single"])
@@ -391,7 +412,7 @@ def _label_for_path(path) -> str:
         return "sky"
     if top == "Affine":
         return "affine"
-    if top == "CamPose":
+    if top in ("CamPose", "CamPosePerturb"):
         return "camera_opt"
     for k in keys:
         if k in known:
