@@ -130,7 +130,12 @@ def _fwd_kernel(starts_ref, chunks_ref, feats_hbm, out_ref,
     def _():
         dma(0, 0).start()
 
-    def body(c, _):
+    def cond(state):
+        c, alive = state
+        return (c < nchunks) & alive
+
+    def body(state):
+        c, _ = state
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < nchunks)
@@ -139,24 +144,27 @@ def _fwd_kernel(starts_ref, chunks_ref, feats_hbm, out_ref,
 
         dma(slot, c).wait()
 
-        alive = jnp.max(tc[...]) > STOP_T
+        chunkf = buf[slot]                              # (FEAT, CHUNK)
+        alpha, l1m = _chunk_alphas(chunkf, basis)
+        s_excl = _dot(ltri, l1m)                        # (CHUNK, PIX)
+        trans = jnp.exp(s_excl) * tc[...]               # bcast (1, PIX)
+        w = alpha * trans
+        colors_t = chunkf[8:16, :]                      # (8, CHUNK)
+        # rows [8..16) = [r, g, b, depth, 1, 0, 0, 0]:
+        # acc[ch, p] += Σ_k colors_t[ch, k] * w[k, p]
+        acc[...] += _dot(colors_t, w)
+        tc[...] *= jnp.exp(s_excl[CHUNK - 1:CHUNK, :] + l1m[CHUNK - 1:CHUNK, :])
 
-        @pl.when(alive)
-        def _():
-            chunkf = buf[slot]                              # (FEAT, CHUNK)
-            alpha, l1m = _chunk_alphas(chunkf, basis)
-            s_excl = _dot(ltri, l1m)                        # (CHUNK, PIX)
-            trans = jnp.exp(s_excl) * tc[...]               # bcast (1, PIX)
-            w = alpha * trans
-            colors_t = chunkf[8:16, :]                      # (8, CHUNK)
-            # rows [8..16) = [r, g, b, depth, 1, 0, 0, 0]:
-            # acc[ch, p] += Σ_k colors_t[ch, k] * w[k, p]
-            acc[...] += _dot(colors_t, w)
-            tc[...] *= jnp.exp(s_excl[CHUNK - 1:CHUNK, :] + l1m[CHUNK - 1:CHUNK, :])
+        return c + 1, jnp.max(tc[...]) > STOP_T
 
-        return 0
+    # true early termination: stop iterating (and issuing DMAs) once the
+    # whole tile is saturated; one conditional wait drains the orphan
+    # prefetch issued just before exit
+    c_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), True))
 
-    jax.lax.fori_loop(0, nchunks, body, 0)
+    @pl.when(c_final < nchunks)
+    def _():
+        dma(jax.lax.rem(c_final, 2), c_final).wait()
 
     # acc rows are [r, g, b, depth, Σw, 0, 0, 0]; replace the summed-w alpha
     # channel with the analytically identical but exactly-bounded 1 - T_final
@@ -196,8 +204,9 @@ def rasterize_fwd(feats, tile_starts, tile_chunks, n_tiles, *, interpret=False):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(starts_ref, chunks_ref, feats_hbm, gout_ref, dfeats_hbm,
-                tc_store, carry, buf, dbuf, sem, wsem):
+def _bwd_kernel(starts_ref, chunks_ref, feats_hbm, gout_ref, dfeats_init_hbm,
+                dfeats_hbm, tc_store, carry, buf, dbuf, sem, wsem):
+    del dfeats_init_hbm   # aliased to dfeats_hbm (pre-zeroed by the caller)
     t = pl.program_id(0)
     start = starts_ref[t]
     nchunks = jnp.minimum(chunks_ref[t], MAX_BWD_CHUNKS)
@@ -231,7 +240,12 @@ def _bwd_kernel(starts_ref, chunks_ref, feats_hbm, gout_ref, dfeats_hbm,
     def _():
         dma_in(0, 0).start()
 
-    def fwd_body(c, _):
+    def cond1(state):
+        c, alive = state
+        return (c < nchunks) & alive
+
+    def body1(state):
+        c, _ = state
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < nchunks)
@@ -241,28 +255,31 @@ def _bwd_kernel(starts_ref, chunks_ref, feats_hbm, gout_ref, dfeats_hbm,
         dma_in(slot, c).wait()
         tc_store[pl.ds(c, 1), :] = carry[...]
 
-        @pl.when(jnp.max(carry[...]) > STOP_T)
-        def _():
-            _, l1m = _chunk_alphas(buf[slot], basis)
-            total = _dot(jnp.ones((1, CHUNK), jnp.float32), l1m)
-            carry[...] *= jnp.exp(total)
+        _, l1m = _chunk_alphas(buf[slot], basis)
+        total = _dot(jnp.ones((1, CHUNK), jnp.float32), l1m)
+        carry[...] *= jnp.exp(total)
+        return c + 1, jnp.max(carry[...]) > STOP_T
 
-        return 0
+    # n_live = chunks actually composited before saturation; chunks beyond it
+    # contribute nothing and keep the caller's pre-zeroed gradients
+    n_live, _ = jax.lax.while_loop(cond1, body1, (jnp.int32(0), True))
 
-    jax.lax.fori_loop(0, nchunks, fwd_body, 0)
+    @pl.when(n_live < nchunks)
+    def _():
+        dma_in(jax.lax.rem(n_live, 2), n_live).wait()
 
     # ---- pass 2: reverse sweep with downstream-contribution carry R ----
     carry[...] = jnp.zeros_like(carry)   # reused as R = Σ_later w·G
 
-    @pl.when(nchunks > 0)
+    @pl.when(n_live > 0)
     def _():
-        dma_in(0, nchunks - 1).start()
+        dma_in(0, n_live - 1).start()
 
     def bwd_body(ci, _):
-        c = nchunks - 1 - ci
+        c = n_live - 1 - ci
         slot = jax.lax.rem(ci, 2)
 
-        @pl.when(ci + 1 < nchunks)
+        @pl.when(ci + 1 < n_live)
         def _():
             dma_in(1 - slot, c - 1).start()
 
@@ -273,65 +290,56 @@ def _bwd_kernel(starts_ref, chunks_ref, feats_hbm, gout_ref, dfeats_hbm,
             dma_out(slot, c + 2).wait()
 
         tc_in = tc_store[pl.ds(c, 1), :]
-        alive = jnp.max(tc_in) > STOP_T
+        chunkf = buf[slot]
+        alpha, l1m = _chunk_alphas(chunkf, basis)
+        s_excl = _dot(ltri, l1m)
+        trans = jnp.exp(s_excl) * tc_in
+        w = alpha * trans
 
-        @pl.when(alive)
-        def _():
-            chunkf = buf[slot]
-            alpha, l1m = _chunk_alphas(chunkf, basis)
-            s_excl = _dot(ltri, l1m)
-            trans = jnp.exp(s_excl) * tc_in
-            w = alpha * trans
+        colors_t = chunkf[8:16, :]                       # (8, CHUNK)
+        # G[k, p] = Σ_ch colors_t[ch, k] * g8[ch, p]
+        G = _dot(colors_t, g8, contract=((0,), (0,)))    # (CHUNK, PIX)
+        wG = w * G
+        suffix = _dot(utri, wG) + carry[...]
+        # gradient of loss wrt alpha_k (pre-gating)
+        one_m = jnp.maximum(1.0 - alpha, 1.0 - MAX_ALPHA)
+        d_alpha = trans * G - suffix / one_m
+        # gate: no gradient where alpha clamped at MAX_ALPHA or zeroed
+        gate = (alpha > 0.0) & (alpha < MAX_ALPHA)
+        d_alpha = jnp.where(gate, d_alpha, 0.0)
 
-            colors_t = chunkf[8:16, :]                       # (8, CHUNK)
-            # G[k, p] = Σ_ch colors_t[ch, k] * g8[ch, p]
-            G = _dot(colors_t, g8, contract=((0,), (0,)))    # (CHUNK, PIX)
-            wG = w * G
-            suffix = _dot(utri, wG) + carry[...]
-            # gradient of loss wrt alpha_k (pre-gating)
-            one_m = jnp.maximum(1.0 - alpha, 1.0 - MAX_ALPHA)
-            d_alpha = trans * G - suffix / one_m
-            # gate: no gradient where alpha clamped at MAX_ALPHA or zeroed
-            gate = (alpha > 0.0) & (alpha < MAX_ALPHA)
-            d_alpha = jnp.where(gate, d_alpha, 0.0)
+        # α = exp(-σ′) ⇒ dσ′ = -α·dα; gradient wrt transposed coefs:
+        # d_coef_t[r, k] = Σ_p basis[r, p] * d_sigma[k, p]
+        d_sigma = -(alpha * d_alpha)
+        d_coef_t = _dot(basis, d_sigma, contract=((1,), (1,)))
+        # d_colors_t[ch, k] = Σ_p g8[ch, p] * w[k, p]
+        d_colors_t = _dot(g8, w, contract=((1,), (1,)))
 
-            # α = exp(-σ′) ⇒ dσ′ = -α·dα; gradient wrt transposed coefs:
-            # d_coef_t[r, k] = Σ_p basis[r, p] * d_sigma[k, p]
-            d_sigma = -(alpha * d_alpha)
-            d_coef_t = _dot(basis, d_sigma, contract=((1,), (1,)))
-            # d_colors_t[ch, k] = Σ_p g8[ch, p] * w[k, p]
-            d_colors_t = _dot(g8, w, contract=((1,), (1,)))
-
-            dbuf[slot] = jnp.concatenate([d_coef_t, d_colors_t], axis=0)
-            carry[...] += _dot(jnp.ones((1, CHUNK), jnp.float32), wG)
-
-        @pl.when(jnp.logical_not(alive))
-        def _():
-            # early-terminated region: contributions below STOP_T are
-            # treated as zero in forward; write zero gradients
-            dbuf[slot] = jnp.zeros_like(dbuf[slot])
-
+        dbuf[slot] = jnp.concatenate([d_coef_t, d_colors_t], axis=0)
         dma_out(slot, c).start()
+
+        carry[...] += _dot(jnp.ones((1, CHUNK), jnp.float32), wG)
         return 0
 
-    jax.lax.fori_loop(0, nchunks, bwd_body, 0)
+    jax.lax.fori_loop(0, n_live, bwd_body, 0)
 
     # drain outstanding writes
-    @pl.when(nchunks >= 2)
+    @pl.when(n_live >= 2)
     def _():
-        dma_out(jax.lax.rem(nchunks - 2, 2), 1).wait()
+        dma_out(jax.lax.rem(n_live - 2, 2), 1).wait()
 
-    @pl.when(nchunks >= 1)
+    @pl.when(n_live >= 1)
     def _():
-        dma_out(jax.lax.rem(nchunks - 1, 2), 0).wait()
+        dma_out(jax.lax.rem(n_live - 1, 2), 0).wait()
 
 
 def rasterize_bwd(feats, tile_starts, tile_chunks, gout, n_tiles, *,
                   interpret=False):
-    """Returns d_feats with the same (FEAT, M_aligned) shape as feats.
-    Chunk-aligned slots not covered by any tile keep whatever was in memory —
-    they map to the dummy Gaussian row and are dropped by the caller's
-    segment-sum."""
+    """Returns d_feats with the same (FEAT, M_aligned) shape as feats. The
+    buffer is pre-zeroed and aliased through the kernel, so early-terminated
+    and uncovered slots carry exact zero gradients (they correspond to
+    contributions the forward treated as zero)."""
+    dfeats_init = jnp.zeros(feats.shape, jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -339,6 +347,7 @@ def rasterize_bwd(feats, tile_starts, tile_chunks, gout, n_tiles, *,
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, C_PAD, _PIX // 128, 128), lambda t, *_: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
@@ -354,5 +363,6 @@ def rasterize_bwd(feats, tile_starts, tile_chunks, gout, n_tiles, *,
         _bwd_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(feats.shape, jnp.float32),
+        input_output_aliases={4: 0},
         interpret=interpret,
-    )(tile_starts, tile_chunks, feats, gout)
+    )(tile_starts, tile_chunks, feats, gout, dfeats_init)
