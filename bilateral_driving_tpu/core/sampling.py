@@ -22,30 +22,53 @@ def uniform_sample_sphere(key: jax.Array, n: int, radius_min: float,
     return dirs * r
 
 
-def knn_mean_distance(points: jax.Array, k: int = 3,
-                      chunk: int = 2048) -> jax.Array:
+def knn_mean_distance(points: jax.Array, k: int = 3, chunk: int = 1024,
+                      ref_block: int = 4096,
+                      max_reference: int = 100_000) -> jax.Array:
     """Mean distance to the k nearest neighbors of each point.
 
     Replaces sklearn `k_nearest_sklearn` (reference: basics.py:208-224) used
-    for scale initialization. Tiled brute force: O(N^2) distances computed in
-    (chunk x N) blocks so XLA keeps the working set on-chip; driving-scene
-    inits are <= ~1M points which is fine as a one-time setup cost.
+    for scale initialization. Streaming blocked top-k: query chunks against
+    reference blocks with a running k-best merge. Never calls `top_k` over
+    more than `ref_block + k + 1` lanes — `lax.top_k` across a 10^5-wide
+    dimension hard-crashes the TPU worker ("kernel fault"). Above
+    `max_reference` points the neighbor reference set is a uniform subsample
+    (scale init only needs the local density scale).
     """
     n = points.shape[0]
+    if n > max_reference:
+        stride = -(-n // max_reference)
+        ref = points[::stride]
+    else:
+        ref = points
+    r = ref.shape[0]
+    rpad = (-r) % ref_block
+    ref_p = jnp.pad(ref, ((0, rpad), (0, 0)), constant_values=jnp.inf)
+    ref_blocks = ref_p.reshape(-1, ref_block, 3)
+    sq_blocks = jnp.where(
+        jnp.isfinite(ref_blocks).all(-1),
+        jnp.sum(ref_blocks * ref_blocks, axis=-1), jnp.inf)
+
     pad = (-n) % chunk
     pts_pad = jnp.pad(points, ((0, pad), (0, 0)))
-    sq = jnp.sum(points * points, axis=-1)
 
-    def body(q):
-        d2 = (
-            jnp.sum(q * q, axis=-1, keepdims=True)
-            - 2.0 * q @ points.T
-            + sq[None, :]
-        )
-        # k+1 smallest (self-distance included), drop the closest (self).
-        neg_top, _ = jax.lax.top_k(-d2, k + 1)
-        d = jnp.sqrt(jnp.maximum(-neg_top[:, 1:], 0.0))
+    def query_chunk(q):
+        qsq = jnp.sum(q * q, axis=-1, keepdims=True)
+
+        def merge(best, rb):
+            rpts, rsq = rb
+            d2 = qsq - 2.0 * q @ jnp.where(jnp.isfinite(rpts), rpts, 0.0).T \
+                + rsq[None, :]
+            cand, _ = jax.lax.top_k(-d2, k + 1)
+            best, _ = jax.lax.top_k(
+                jnp.concatenate([best, cand], axis=1), k + 1)
+            return best, None
+
+        best0 = jnp.full((q.shape[0], k + 1), -jnp.inf)
+        best, _ = jax.lax.scan(merge, best0, (ref_blocks, sq_blocks))
+        # k+1 smallest (self-distance possibly included), drop the closest
+        d = jnp.sqrt(jnp.maximum(-best[:, 1:], 0.0))
         return jnp.mean(d, axis=-1)
 
-    out = jax.lax.map(body, pts_pad.reshape(-1, chunk, 3))
+    out = jax.lax.map(query_chunk, pts_pad.reshape(-1, chunk, 3))
     return out.reshape(-1)[:n]
