@@ -178,13 +178,28 @@ def bin_gaussians(
     m_aligned_cap = isect_capacity + n_tiles * CHUNK
     pad_delta = _fill_monotone(aligned_starts - starts, starts, isect_capacity)
     dest = jnp.where(entry_valid, m_idx + pad_delta, m_aligned_cap)
-    # one packed scatter instead of two: low 20 bits gid, high bits tile
-    # (n < 2^20 unpacks to gid=n, tile=0 for untouched padding slots)
-    packed = gid_s | (tile_s << 20)
-    packed_al = jnp.full((m_aligned_cap,), n, jnp.int32).at[dest].set(
-        packed, mode="drop")
-    gid_aligned = packed_al & ((1 << 20) - 1)
-    tile_aligned = (packed_al >> 20) & ((1 << 11) - 1)
+    # One packed scatter instead of two where the static sizes allow it:
+    # low `gid_bits` bits hold the gaussian id (0..n inclusive — n is the
+    # dummy padding id, so untouched padding slots filled with n unpack to
+    # gid=n, tile=0), the high bits the tile id (scattered values < n_tiles).
+    # n and n_tiles are Python ints, so the packing width adapts statically;
+    # when they don't fit in 31 bits (e.g. 2^21-capacity background at
+    # full-res multi-tile images) fall back to two separate scatters rather
+    # than corrupt either field.
+    gid_bits = max(1, int(n).bit_length())          # represents 0..n
+    tile_bits_needed = max(1, int(n_tiles - 1).bit_length()) if n_tiles > 1 \
+        else 1
+    if gid_bits + tile_bits_needed <= 31:
+        packed = gid_s | (tile_s << gid_bits)
+        packed_al = jnp.full((m_aligned_cap,), n, jnp.int32).at[dest].set(
+            packed, mode="drop")
+        gid_aligned = packed_al & ((1 << gid_bits) - 1)
+        tile_aligned = (packed_al >> gid_bits) & ((1 << tile_bits_needed) - 1)
+    else:
+        gid_aligned = jnp.full((m_aligned_cap,), n, jnp.int32).at[dest].set(
+            gid_s, mode="drop")
+        tile_aligned = jnp.zeros((m_aligned_cap,), jnp.int32).at[dest].set(
+            tile_s, mode="drop")
 
     # expansion index -> aligned slot (invalid entries point past the end)
     dest_exp = jnp.full((isect_capacity,), m_aligned_cap, jnp.int32).at[

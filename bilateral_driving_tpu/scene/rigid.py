@@ -50,7 +50,7 @@ def _frame_pose(params, statics, frame, num_frames: int, in_test_set: bool):
     if in_test_set:
         prev = jnp.clip(frame - 1, 0, num_frames - 1)
         nxt = jnp.clip(frame + 1, 0, num_frames - 1)
-        can_interp = (frame - 1 > 0) & (frame + 1 < num_frames)
+        can_interp = (frame - 1 >= 0) & (frame + 1 < num_frames)
         both = fv[prev] & fv[nxt] & can_interp
         q_int = transforms.quat_slerp(iq[prev], iq[nxt], 0.5)
         t_int = 0.5 * (it[prev] + it[nxt])

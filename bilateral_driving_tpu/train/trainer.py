@@ -490,16 +490,20 @@ def apply_grads_and_refine(cfg: TrainerConfig, statics, state: TrainerState,
     updates, opt_state = opt.update(g_params, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
 
-    # densification stats per class (base.py:279-310)
+    # densification stats per class (base.py:279-310). The reference scales
+    # raw screen grads by (width/2, height/2) before the norm (base.py:285-286)
+    # — densify_grad_thresh is tuned for that NDC-ish scale, so raw pixel-unit
+    # grads would be ~W/2 too small and densification would never fire.
     radii = outputs["info"]["radii"]
     h, w = batch["pixels"].shape[:2]
     last_size = float(max(h, w))
+    grad_scale = jnp.asarray([w / 2.0, h / 2.0])
     stats = dict(state.stats)
     offset = 0
     for name in gaussian_classes(cfg):
         c = state.masks[name].shape[0]
         stats[name] = density.accumulate_stats(
-            stats[name], g_dummy[offset:offset + c],
+            stats[name], g_dummy[offset:offset + c] * grad_scale,
             radii[offset:offset + c], last_size)
         offset += c
 
@@ -524,15 +528,23 @@ def apply_grads_and_refine(cfg: TrainerConfig, statics, state: TrainerState,
                 extra_cull = rigid.out_of_bound_mask(
                     params[name],
                     {**statics[name], **aux[name]})
-            p, a, alive, touched, _ = density.refine(
+            p, a, alive, touched, info = density.refine(
                 jax.random.fold_in(sub, i), params[name], aux[name],
                 masks[name], stats[name], state.step,
-                cfg.scene_scale, cfg.density, extra_cull=extra_cull)
+                cfg.scene_scale, cfg.density,
+                num_train_images=cfg.num_images, extra_cull=extra_cull)
             params[name] = p
             aux[name] = a
             masks[name] = alive
             stats[name] = density.DensityStats.zeros(alive.shape[0])
             opt_state = density.reset_moments(opt_state, name, touched)
+            # opacity reset must also zero the opacity Adam moments
+            # (vanilla.py:295-301) or stale second moments immediately push
+            # opacities back up, defeating the reset
+            reset_all = jnp.broadcast_to(info["opacity_reset"],
+                                         alive.shape)
+            opt_state = density.reset_moments(
+                opt_state, name, reset_all, also_key="logit_opacities")
         return params, aux, masks, stats, opt_state
 
     params, aux, masks, stats, opt_state = jax.lax.cond(
