@@ -38,6 +38,8 @@ def trainer_config_from(cfg: ConfigDict, num_images: int,
         sky_model=t.get("sky_model", "envlight"),
         affine_model=t.get("affine_model", "multiscale_bilateral"),
         use_camera_opt=t.get("use_camera_opt", False),
+        use_camera_perturb=t.get("use_camera_perturb", False),
+        use_voxel_deformer=t.get("use_voxel_deformer", False),
         near_plane=render.get("near_plane", 0.1),
         far_plane=render.get("far_plane", 1e7),
         radius_clip=render.get("radius_clip", 0.0),
@@ -59,6 +61,10 @@ def trainer_config_from(cfg: ConfigDict, num_images: int,
         w_opacity_entropy=losses.get("opacity_entropy", 0.0),
         w_inverse_depth_smoothness=losses.get("inverse_depth_smoothness", 0.0),
         depth_loss_type=losses.get("depth_loss_type", "l1"),
+        depth_inverse=losses.get("depth_inverse", False),
+        depth_normalize=losses.get("depth_normalize", False),
+        depth_reduction=losses.get("depth_reduction", "mean_on_hit"),
+        mask_loss_type=losses.get("mask_loss_type", "safe_bce"),
         max_depth=losses.get("max_depth", 80.0),
         w_rigid_temporal=losses.get("rigid_temporal", 0.0),
         w_smpl_joint_smooth=losses.get("smpl_joint_smooth", 0.0),
@@ -66,14 +72,26 @@ def trainer_config_from(cfg: ConfigDict, num_images: int,
         scene_scale=scene_scale,
         max_steps=t.get("max_steps", 30000),
     )
+    if "ms_grid" in t:
+        kw["ms_grid"] = tuple(tuple(g) for g in t["ms_grid"])
+    if "guidance_factor" in t:
+        kw["guidance_factor"] = tuple(t["guidance_factor"])
+    if "bilateral_grid_shape" in t:
+        kw["bilateral_grid_shape"] = tuple(t["bilateral_grid_shape"])
     regs = cfg.get("background_reg", None)
     if regs:
         kw["background_reg"] = tuple((k, tuple(v.items()))
                                      for k, v in regs.items())
+    sregs = cfg.get("smpl_reg", None)
+    if sregs:
+        kw["smpl_reg"] = tuple((k, tuple(v.items()))
+                               for k, v in sregs.items())
     return trainer.TrainerConfig(**kw)
 
 
 def _background_from_scene(key, cfg, data: scene_mod.SceneData, tcfg):
+    """Build the Background class for any background_model
+    (vanilla | pvg | deformgs). Returns (params, mask, statics)."""
     init = cfg.get("background_init", {})
     pts = scene_mod.get_init_background(
         data,
@@ -83,9 +101,23 @@ def _background_from_scene(key, cfg, data: scene_mod.SceneData, tcfg):
     colors = scene_mod.lidar_colors_for_points(data, pts)
     capacity = int(init.get("capacity", max(2 ** 19, 2 * pts.shape[0])))
     capacity = max(capacity, pts.shape[0])
-    return setup.build_background(key, capacity, jnp.asarray(pts),
-                                  jnp.asarray(colors),
-                                  sh_degree=tcfg.sh_degree)
+    pts = jnp.asarray(pts)
+    colors = jnp.asarray(colors)
+    if tcfg.background_model == "pvg":
+        params, mask = setup.build_pvg_background(
+            key, capacity, pts, colors, sh_degree=tcfg.sh_degree)
+        return params, mask, {}
+    if tcfg.background_model == "deformgs":
+        aabb = data.aabb()
+        center = 0.5 * (aabb[0] + aabb[1])
+        radius = float(np.max(aabb[1] - aabb[0]) / 2.0)
+        params, statics, mask = setup.build_deformgs_background(
+            key, capacity, pts, colors, center, radius,
+            sh_degree=tcfg.sh_degree)
+        return params, mask, statics
+    params, mask = setup.build_background(key, capacity, pts, colors,
+                                          sh_degree=tcfg.sh_degree)
+    return params, mask, {}
 
 
 def build_real_scene(key, cfg: ConfigDict, interpret=False):
@@ -100,10 +132,10 @@ def build_real_scene(key, cfg: ConfigDict, interpret=False):
     params = setup.build_models(key, tcfg)
     masks, aux, statics = {}, {}, {}
 
-    bg, masks["Background"] = _background_from_scene(key, cfg, data, tcfg)
+    bg, masks["Background"], statics["Background"] = _background_from_scene(
+        key, cfg, data, tcfg)
     params["Background"] = bg
     aux["Background"] = {}
-    statics["Background"] = {}
 
     if tcfg.use_rigid:
         obj = scene_mod.get_init_objects(data, "RigidNodes")
@@ -135,6 +167,28 @@ def build_real_scene(key, cfg: ConfigDict, interpret=False):
         else:
             tcfg = dataclasses.replace(tcfg, use_smpl=False)
 
+    if tcfg.use_deformable:
+        obj = scene_mod.get_init_objects(data, "DeformableNodes")
+        if obj is not None:
+            cap = int(cfg.get("deformable_capacity",
+                              2 * obj["means"].shape[0]))
+            num_inst = obj["sizes"].shape[0]
+            dp, ds, da, dm = setup.build_deformable(
+                key, cap, jnp.asarray(obj["means"]),
+                jnp.asarray(scene_mod.lidar_colors_for_points(
+                    data, obj["means"])),
+                jnp.asarray(obj["point_ids"]), jnp.asarray(obj["quats"]),
+                jnp.asarray(obj["trans"]), jnp.asarray(obj["frame_valid"]),
+                jnp.asarray(obj["sizes"]), num_inst,
+                sh_degree=tcfg.sh_degree)
+            params["DeformableNodes"] = dp
+            statics["DeformableNodes"] = ds
+            aux["DeformableNodes"] = da
+            masks["DeformableNodes"] = dm
+        else:
+            # safe_init_models: drop empty classes (scene_graph.py:73-84)
+            tcfg = dataclasses.replace(tcfg, use_deformable=False)
+
     return tcfg, data, params, statics, aux, masks
 
 
@@ -161,7 +215,8 @@ def _smpl_from_scene(key, cfg, data, tcfg):
         key, model, jnp.zeros((I, 10)),
         jnp.asarray(root_q)[:, :, None, :], body,
         jnp.asarray(poses[..., :3, 3]),
-        jnp.asarray(inst.frame_valid[:, sel]), sh_degree=tcfg.sh_degree)
+        jnp.asarray(inst.frame_valid[:, sel]), sh_degree=tcfg.sh_degree,
+        use_voxel_deformer=tcfg.use_voxel_deformer)
 
 
 def build_synthetic_scene(key, cfg: ConfigDict, interpret=False):
@@ -175,12 +230,24 @@ def build_synthetic_scene(key, cfg: ConfigDict, interpret=False):
     tcfg = trainer_config_from(cfg, num_frames, num_frames, 15.0, interpret)
     params = setup.build_models(key, tcfg)
     masks, aux, statics = {}, {}, {}
-    bg, masks["Background"] = setup.build_background(
-        key, d.get("bg_capacity", 8192), scene.bg_means, scene.bg_colors,
-        sh_degree=tcfg.sh_degree)
+    bg_cap = d.get("bg_capacity", 8192)
+    if tcfg.background_model == "pvg":
+        bg, masks["Background"] = setup.build_pvg_background(
+            key, bg_cap, scene.bg_means, scene.bg_colors,
+            sh_degree=tcfg.sh_degree)
+        statics["Background"] = {}
+    elif tcfg.background_model == "deformgs":
+        bg, statics["Background"], masks["Background"] = \
+            setup.build_deformgs_background(
+                key, bg_cap, scene.bg_means, scene.bg_colors,
+                jnp.zeros(3), 20.0, sh_degree=tcfg.sh_degree)
+    else:
+        bg, masks["Background"] = setup.build_background(
+            key, bg_cap, scene.bg_means, scene.bg_colors,
+            sh_degree=tcfg.sh_degree)
+        statics["Background"] = {}
     params["Background"] = bg
     aux["Background"] = {}
-    statics["Background"] = {}
     if tcfg.use_rigid:
         rp, rs, ra, rm = setup.build_rigid(
             key, 1024, scene.rigid_means, scene.rigid_colors,
@@ -190,4 +257,32 @@ def build_synthetic_scene(key, cfg: ConfigDict, interpret=False):
         statics["RigidNodes"] = rs
         aux["RigidNodes"] = ra
         masks["RigidNodes"] = rm
+    if tcfg.use_smpl:
+        # synthetic body model (no SMPL pickle needed) so smpl configs can
+        # smoke-test end to end
+        model = smpl_model.synthetic_model(key, num_verts=64)
+        F, I = num_frames, 1
+        root = jnp.broadcast_to(smpl_model.da_pose_quats()[0], (F, I, 1, 4))
+        body = jnp.broadcast_to(smpl_model.da_pose_quats()[1:], (F, I, 23, 4))
+        trans = jnp.tile(jnp.array([0.0, 0.0, 8.0]), (F, I, 1))
+        sp, ss, sa, sm = setup.build_smpl(
+            jax.random.fold_in(key, 2), model, jnp.zeros((I, 10)), root,
+            body, trans, jnp.ones((F, I), bool), sh_degree=tcfg.sh_degree,
+            use_voxel_deformer=tcfg.use_voxel_deformer)
+        params["SMPLNodes"] = sp
+        statics["SMPLNodes"] = ss
+        aux["SMPLNodes"] = sa
+        masks["SMPLNodes"] = sm
+    if tcfg.use_deformable:
+        # the synthetic scene reuses its rigid instances as deformable ones
+        num_inst = int(scene.rigid_sizes.shape[0])
+        dp, ds, da, dm = setup.build_deformable(
+            jax.random.fold_in(key, 3), 1024, scene.rigid_means,
+            scene.rigid_colors, scene.rigid_point_ids, scene.rigid_quats,
+            scene.rigid_trans, scene.rigid_fv, scene.rigid_sizes, num_inst,
+            sh_degree=tcfg.sh_degree)
+        params["DeformableNodes"] = dp
+        statics["DeformableNodes"] = ds
+        aux["DeformableNodes"] = da
+        masks["DeformableNodes"] = dm
     return tcfg, scene, params, statics, aux, masks

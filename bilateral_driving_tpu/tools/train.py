@@ -41,14 +41,33 @@ def parse_args():
     return p.parse_args()
 
 
+def _resolve_dataset_file(cfg, args):
+    """Reference-style `dataset=waymo/3cams` key -> configs/datasets YAML
+    (project/tools/train.py:42-55)."""
+    if args.dataset_file:
+        return args.dataset_file
+    ds = cfg.get("dataset")
+    if not ds:
+        return None
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "configs", "datasets", f"{ds}.yaml")
+    return path if os.path.exists(path) else None
+
+
 def main():
     args = parse_args()
-    cfg = config_lib.load_config(args.config_file, args.dataset_file,
-                                 args.opts)
+    cfg = config_lib.load_config(args.config_file, None, args.opts)
+    ds_file = _resolve_dataset_file(cfg, args)
+    if ds_file:
+        cfg = config_lib.load_config(args.config_file, ds_file, args.opts)
     log_dir = os.path.join(args.output_root, args.project, args.run_name)
     os.makedirs(log_dir, exist_ok=True)
     setup_logging(log_dir)
     config_lib.save_config(cfg, os.path.join(log_dir, "config.yaml"))
+    # per-run source snapshot for reproducibility (utils/backup.py:39-56,
+    # invoked by the reference per run at train.py:102-106)
+    from ..utils import backup as backup_lib
+    backup_lib.backup_project(log_dir)
 
     key = jax.random.key(args.seed)
     interpret = jax.default_backend() not in ("tpu", "axon")
@@ -102,11 +121,23 @@ def main():
     log_every = cfg.get_path("logging.log_every", 100)
     mlogger = MetricLogger(output_file=os.path.join(log_dir, "metrics.json"))
 
+    # coarse-to-fine resolution schedule (base.py:142-146): train at
+    # 1/2^downscale_times resolution, doubling every double_steps. Each
+    # resolution is a distinct static shape -> one re-jit per stage
+    # (jax caches per shape; downscale_times+1 compiles total).
+    rs_double = int(cfg.get_path("res_schedule.double_steps", 0) or 0)
+    rs_times = int(cfg.get_path("res_schedule.downscale_times", 0) or 0)
+
+    def sched_downscale(step: int) -> int:
+        if rs_double <= 0:
+            return 1
+        return 2 ** max(rs_times - step // rs_double, 0)
+
     t0 = time.time()
     start_step = int(state.step)
     for step in range(start_step, max_steps):
         idx = sampler.propose(train_indices)
-        batch = get_batch(int(idx))
+        batch = get_batch(int(idx), sched_downscale(step))
         state, metrics = step_fn(state, batch)
         if not np.isfinite(float(metrics["loss"])):
             raise RuntimeError(f"non-finite loss at step {step}: "

@@ -106,6 +106,16 @@ def safe_bce(pred, target, limit=0.1, mask=None):
     return masked_mean(loss, mask)
 
 
+def bce(pred, target, eps=1e-6, mask=None):
+    """Plain binary cross-entropy on probabilities
+    (`opacity_loss_type: bce`, base.py:552-556)."""
+    p = jnp.clip(pred, eps, 1.0 - eps)
+    loss = -(target * jnp.log(p) + (1.0 - target) * jnp.log1p(-p))
+    if mask is None:
+        return jnp.mean(loss)
+    return masked_mean(loss, mask)
+
+
 # --------------------------------------------------------------------------
 # lidar depth loss (losses.py:91-176 DepthLoss)
 # --------------------------------------------------------------------------

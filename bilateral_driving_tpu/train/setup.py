@@ -83,11 +83,13 @@ def build_deformable(key, capacity, means, colors, point_ids, quats_fi4,
 
 def build_smpl(key, model: smpl_model.SMPLModel, betas, root_quats_fi14,
                body_quats_fi234, trans_fi3, frame_valid, sizes=None,
-               sh_degree=3, init_opacity=0.88):
+               sh_degree=3, init_opacity=0.88, use_voxel_deformer=False):
     """betas (I, 10); root_quats (F, I, 1, 4); body_quats (F, I, 23, 4);
     points initialized on the canonical (da-pose) template vertices
     (human_body.py get_on_mesh_init_geo_values, simplified: vertex positions,
     surface-frame quats left random, KNN scales)."""
+    from ..scene import voxel_deformer as vd
+
     template = smpl_model.make_template(model, betas)
     num_inst, V = template.verts_canonical.shape[:2]
     means = template.verts_canonical.reshape(-1, 3)
@@ -106,6 +108,11 @@ def build_smpl(key, model: smpl_model.SMPLModel, betas, root_quats_fi14,
         "nn_ind": smpl_node.compute_knn(means, num_inst, k=5),
         "on_mesh_x": means,
     }
+    if use_voxel_deformer:
+        vd_statics, vd_params = vd.init_voxel_deformer(
+            template.verts_canonical, template.lbs_weights)
+        statics["vd_statics"] = vd_statics
+        params["voxel_w_correction"] = vd_params["voxel_w_correction"]
     aux = {"point_ids": point_ids}
     return params, statics, aux, mask
 
@@ -133,6 +140,8 @@ def build_models(key, cfg: trainer_mod.TrainerConfig):
     elif cfg.affine_model == "multiscale_neural_bilateral":
         out["Affine"] = bilateral.init_multiscale_neural(
             k2, cfg.num_images, cfg.ms_grid)
+    elif cfg.affine_model == "cp4d":
+        out["Affine"] = bilateral.init_cp4d(k2)
     if cfg.use_camera_opt:
         out["CamPose"] = camera_opt.init_camera_opt(k3, cfg.num_images)
     if cfg.use_camera_perturb:

@@ -49,6 +49,7 @@ class TrainerConfig:
     #                                     bilateral | affine | neural_bilateral | none
     use_camera_opt: bool = False
     use_camera_perturb: bool = False       # CamPosePerturb (random-init deltas)
+    use_voxel_deformer: bool = False       # learned SMPL skinning correction
 
     # render
     near_plane: float = 0.1
@@ -79,6 +80,10 @@ class TrainerConfig:
     w_opacity_entropy: float = 0.0
     w_inverse_depth_smoothness: float = 0.0
     depth_loss_type: str = "l1"
+    depth_inverse: bool = False            # pvg.yaml depth.inverse_depth
+    depth_normalize: bool = False
+    depth_reduction: str = "mean_on_hit"   # mean_on_hit | mean_on_hw | sum
+    mask_loss_type: str = "safe_bce"       # safe_bce | bce
     max_depth: float = 80.0
 
     # per-class reg configs (dict-likes; see scene/*.reg_loss)
@@ -185,7 +190,9 @@ def collect_gaussians(cfg: TrainerConfig, params, statics, masks, cam_origin,
         bundles["SMPLNodes"] = smpl_node.gaussians(
             params["SMPLNodes"], statics["SMPLNodes"], masks["SMPLNodes"],
             cam_origin, step, frame, cfg.num_frames, in_test_set,
-            smpl_node.SMPLConfig(cfg.sh_degree, cfg.sh_degree_interval))
+            smpl_node.SMPLConfig(cfg.sh_degree, cfg.sh_degree_interval,
+                                 use_voxel_deformer=cfg.use_voxel_deformer),
+            vd_statics=statics["SMPLNodes"].get("vd_statics"))
     if cfg.use_deformable:
         bundles["DeformableNodes"] = deformable.node_gaussians(
             params["DeformableNodes"], statics["DeformableNodes"],
@@ -296,6 +303,19 @@ def forward(cfg: TrainerConfig, params, statics, masks, batch,
             cfg.guidance_factor,
             neighbor_idx=neighbor_idx if in_test_set else None)
         outputs["rgb"] = bilateral.apply_affine(mats, original_rgb) + original_rgb
+    elif aff == "cp4d":
+        # Low-rank 4D grid (lib_bilagrid.py:497-664; unwired in the reference
+        # trainer). Sliced at (x_ndc, y_ndc, depth/max_depth) + gray — a
+        # screen-space 4D grid, fully in-jit (the reference class samples
+        # caller-provided xyz; it is never called from a trainer there).
+        yy, xx = jnp.meshgrid(jnp.linspace(-1.0, 1.0, h),
+                              jnp.linspace(-1.0, 1.0, w), indexing="ij")
+        dz = jnp.clip(out["depth"][..., 0] / cfg.max_depth, 0.0, 1.0) * 2 - 1
+        xyz = jnp.stack([xx, yy, dz], axis=-1)
+        mats = bilateral.cp4d_affines(params["Affine"],
+                                      jax.lax.stop_gradient(xyz),
+                                      original_rgb)
+        outputs["rgb"] = bilateral.apply_affine(mats, original_rgb)
     else:
         outputs["rgb"] = original_rgb
     return outputs
@@ -323,7 +343,11 @@ def compute_losses(cfg: TrainerConfig, params, statics, masks, outputs,
     if cfg.w_mask > 0 and "sky_masks" in batch:
         gt_occ = (1.0 - batch["sky_masks"]) * valid
         pred_occ = outputs["opacity"][..., 0] * valid
-        loss["sky_opacity"] = cfg.w_mask * losses.safe_bce(pred_occ, gt_occ)
+        if cfg.mask_loss_type == "bce":
+            loss["sky_opacity"] = cfg.w_mask * losses.bce(pred_occ, gt_occ)
+        else:
+            loss["sky_opacity"] = cfg.w_mask * losses.safe_bce(pred_occ,
+                                                               gt_occ)
 
     if cfg.w_depth > 0 and "lidar_depth_map" in batch:
         decay = jnp.where(cfg.lidar_w_decay > 0,
@@ -331,7 +355,9 @@ def compute_losses(cfg: TrainerConfig, params, statics, masks, outputs,
         hit = (batch["lidar_depth_map"] > 0).astype(jnp.float32) * valid
         loss["depth"] = cfg.w_depth * decay * losses.depth_loss(
             outputs["depth"][..., 0], batch["lidar_depth_map"], hit,
-            loss_type=cfg.depth_loss_type, max_depth=cfg.max_depth)
+            loss_type=cfg.depth_loss_type, normalize=cfg.depth_normalize,
+            use_inverse_depth=cfg.depth_inverse, max_depth=cfg.max_depth,
+            reduction=cfg.depth_reduction)
 
     if cfg.w_opacity_entropy > 0:
         loss["opacity_entropy"] = cfg.w_opacity_entropy * \
@@ -358,6 +384,8 @@ def compute_losses(cfg: TrainerConfig, params, statics, masks, outputs,
     elif aff == "multiscale_neural_bilateral":
         loss["affine"] = cfg.w_affine * \
             bilateral.multiscale_neural_tv_loss(params["Affine"], cfg.ms_grid)
+    elif aff == "cp4d":
+        loss["affine"] = cfg.w_affine * bilateral.cp4d_tv_loss(params["Affine"])
     elif aff == "affine":
         loss["affine"] = cfg.w_affine * \
             affine_mod.identity_reg_loss(outputs["affine_single"])
@@ -553,6 +581,10 @@ def apply_grads_and_refine(cfg: TrainerConfig, statics, state: TrainerState,
 
     metrics = {"loss": total, "psnr": losses.psnr(outputs["rgb"],
                                                   batch["pixels"])}
+    # surface binning saturation: a truncated render silently degrades
+    # quality, so the train loop must see it
+    metrics["isect_overflow"] = outputs["info"]["overflow"].astype(jnp.float32)
+    metrics["num_isects"] = outputs["info"]["num_isects"].astype(jnp.float32)
     metrics.update({f"loss/{k}": v for k, v in loss_dict.items()})
     for name in gaussian_classes(cfg):
         metrics[f"num_points/{name}"] = jnp.sum(masks[name])

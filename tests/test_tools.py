@@ -39,6 +39,8 @@ class TestConfig:
         root = os.path.join(os.path.dirname(__file__), "..",
                             "bilateral_driving_tpu", "configs")
         for f in os.listdir(root):
+            if not f.endswith(".yaml"):
+                continue
             cfg = config_lib.load_yaml(os.path.join(root, f))
             assert "trainer" in cfg, f
 
