@@ -80,6 +80,10 @@ class SceneData:
     num_cams: int
     width: int
     height: int
+    # tracked SMPL body poses: instance id -> {"quats" (F, 24, 4) world root
+    # + 23 body joints, "betas" (10,), "valid" (F,)} (humanpose/smpl.pkl;
+    # nuscenes_sourceloader.py:284-336)
+    smpl_poses: Optional[Dict[str, Dict[str, np.ndarray]]] = None
 
     @property
     def num_images(self) -> int:
@@ -287,7 +291,70 @@ def load_scene(
     )
     if compute_depth_maps and any(p.shape[0] for p in lidar_pts):
         data.lidar_depth_maps = project_lidar_depth(data)
+    data.smpl_poses = load_smpl_poses(scene_dir, frames, inv_first)
     return data
+
+
+def load_smpl_poses(scene_dir, frames, inv_first):
+    """Per-frame SMPL joint rotations from `humanpose/smpl.pkl` (4D-Humans
+    tracking output consumed at nuscenes_sourceloader.py:284-336).
+
+    The pkl maps instance id -> {"valid_mask" (F_total,), "selected_cam_idx"
+    (F_total,), "smpl": {"betas" (F,10), "body_pose" (F,23,3,3),
+    "global_orient" (F,3,3)}}. The global orient is camera-dependent: it is
+    rotated into the (recentered) world by the c2w of the camera the track
+    was estimated from. Returns id -> {"quats" (F,24,4), "betas" (10,),
+    "valid" (F,)} on the loaded frame range, or None when absent.
+    """
+    import jax.numpy as jnp
+
+    from ..core import transforms as T
+
+    path = os.path.join(scene_dir, "humanpose", "smpl.pkl")
+    if not os.path.exists(path):
+        return None
+    try:
+        import joblib
+        smpl_dict = joblib.load(path)
+    except Exception:
+        import pickle
+        with open(path, "rb") as f:
+            smpl_dict = pickle.load(f)
+
+    out = {}
+    F = len(frames)
+    for iid, d in smpl_dict.items():
+        quats = np.zeros((F, 24, 4), np.float32)
+        quats[..., 0] = 1.0
+        valid = np.zeros(F, bool)
+        betas = np.zeros(10, np.float32)
+        rots = []
+        got = []
+        for fi, t in enumerate(frames):
+            vm = np.asarray(d["valid_mask"])
+            if t >= len(vm) or not vm[t]:
+                continue
+            body = np.asarray(d["smpl"]["body_pose"][t],
+                              np.float32).reshape(23, 3, 3)
+            orient = np.asarray(d["smpl"]["global_orient"][t],
+                                np.float32).reshape(3, 3)
+            cam = int(np.asarray(d["selected_cam_idx"][t]).reshape(()))
+            c2w_path = os.path.join(scene_dir, "extrinsics",
+                                    f"{t:03d}_{cam}.txt")
+            if os.path.exists(c2w_path):
+                c2w = inv_first @ np.loadtxt(c2w_path)
+                orient = c2w[:3, :3].astype(np.float32) @ orient
+            rots.append(np.concatenate([orient[None], body], axis=0))
+            got.append(fi)
+            valid[fi] = True
+            betas = np.asarray(d["smpl"]["betas"][t],
+                               np.float32).reshape(-1)[:10]
+        if got:
+            q = np.asarray(T.rotmat_to_quat(jnp.asarray(np.stack(rots))),
+                           np.float32)
+            quats[np.asarray(got)] = q
+        out[str(iid)] = {"quats": quats, "betas": betas, "valid": valid}
+    return out or None
 
 
 def load_instances(scene_dir, frames, inv_first, class_to_node

@@ -173,3 +173,59 @@ def lbs_apply(W: jax.Array, A: jax.Array, points: jax.Array):
     R = T[..., :3, :3]
     t = T[..., :3, 3]
     return jnp.einsum("bnij,bnj->bni", R, points) + t, R
+
+
+def mesh_init_qso(verts: np.ndarray, faces: np.ndarray, key,
+                 scale_init_factor: float = 1.0,
+                 thickness_init_factor: float = 0.5,
+                 max_scale: float = 1.0, min_scale: float = 0.0):
+    """Mesh-surface Gaussian geometry init (human_body.py:216-259
+    `init_qso_on_mesh`): per-vertex local frame with z along the vertex
+    normal and random tangent xy -> quats; scale = disk radius from the
+    1-ring area (thickness = 0.5x), stored as logit(radius) exactly like the
+    reference (whose get_gaussians then applies exp — the activated scale is
+    r/(1-r) ~= r for surface-size radii).
+
+    verts (I, V, 3), faces (F, 3). Returns (quats (I*V, 4),
+    log_scales (I*V, 3)).
+    """
+    num_inst, V = verts.shape[:2]
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces)
+
+    quats_all, scales_all = [], []
+    rng = np.random.RandomState(
+        int(jax.random.randint(key, (), 0, 2 ** 31 - 1)))
+    for b in range(num_inst):
+        v = verts[b]
+        fv = v[faces]                                   # (F, 3, 3)
+        fn = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+        area2 = np.linalg.norm(fn, axis=-1)             # 2x triangle area
+        # vertex normals: area-weighted accumulation of face normals
+        normal = np.zeros_like(v)
+        vtx_area = np.zeros(V, np.float32)
+        for i in range(3):
+            np.add.at(normal, faces[:, i], fn)
+            np.add.at(vtx_area, faces[:, i], area2 / 2.0 / 3.0)
+        nrm = np.linalg.norm(normal, axis=-1, keepdims=True)
+        uz = np.where(nrm > 1e-12, normal / np.maximum(nrm, 1e-12),
+                      np.array([0.0, 0.0, 1.0], np.float32))
+        rand_dir = rng.randn(V, 3).astype(np.float32)
+        ux = np.cross(uz, rand_dir)
+        ux /= np.maximum(np.linalg.norm(ux, axis=-1, keepdims=True), 1e-12)
+        uy = np.cross(uz, ux)
+        uy /= np.maximum(np.linalg.norm(uy, axis=-1, keepdims=True), 1e-12)
+        frame = np.stack([ux, uy, uz], axis=-1)         # columns = basis
+        quats_all.append(np.asarray(
+            transforms.rotmat_to_quat(jnp.asarray(frame)), np.float32))
+
+        radius = np.sqrt(np.maximum(vtx_area, 0.0) / np.pi)
+        radius = np.clip(radius * scale_init_factor,
+                         min_scale + 1e-4, max_scale - 1e-4)
+        thickness = np.clip(radius * thickness_init_factor,
+                            min_scale + 1e-4, max_scale - 1e-4)
+        logit = lambda p: np.log(p / (1.0 - p))
+        scales_all.append(np.stack(
+            [logit(radius), logit(radius), logit(thickness)],
+            axis=-1).astype(np.float32))
+    return (np.concatenate(quats_all), np.concatenate(scales_all))

@@ -47,7 +47,7 @@ def _frame_theta(params, statics, frame, num_frames: int, in_test_set: bool):
     if in_test_set:
         prev = jnp.clip(frame - 1, 0, num_frames - 1)
         nxt = jnp.clip(frame + 1, 0, num_frames - 1)
-        can = (frame - 1 > 0) & (frame + 1 < num_frames)
+        can = (frame - 1 >= 0) & (frame + 1 < num_frames)
         both = fv[prev] & fv[nxt] & can
         th_int = transforms.quat_slerp(theta[prev], theta[nxt], 0.5)
         t_int = 0.5 * (trans[prev] + trans[nxt])

@@ -208,14 +208,28 @@ def _smpl_from_scene(key, cfg, data, tcfg):
 
     poses = inst.poses[:, sel]
     root_q = np.asarray(T.rotmat_to_quat(jnp.asarray(poses[..., :3, :3])))
-    # without tracked joint angles (humanpose pkl parsing TBD) joints start
-    # at the canonical da-pose
-    body = jnp.broadcast_to(smpl_model.da_pose_quats()[1:], (F, I, 23, 4))
+    body = np.broadcast_to(np.asarray(smpl_model.da_pose_quats())[1:],
+                           (F, I, 23, 4)).copy()
+    betas = np.zeros((I, 10), np.float32)
+    frame_valid = inst.frame_valid[:, sel].copy()
+    # tracked joint angles: root = world-rotated SMPL global orient, body =
+    # 23 joint quats, translation stays the instance box center
+    # (nuscenes_sourceloader.py:284-336)
+    if data.smpl_poses:
+        for local_i, i in enumerate(sel):
+            track = data.smpl_poses.get(str(inst.ids[i]))
+            if track is None:
+                continue
+            tv = track["valid"]
+            root_q[tv, local_i] = track["quats"][tv, 0]
+            body[tv, local_i] = track["quats"][tv, 1:]
+            betas[local_i] = track["betas"]
+            frame_valid[:, local_i] &= tv
     return setup.build_smpl(
-        key, model, jnp.zeros((I, 10)),
-        jnp.asarray(root_q)[:, :, None, :], body,
+        key, model, jnp.asarray(betas),
+        jnp.asarray(root_q)[:, :, None, :], jnp.asarray(body),
         jnp.asarray(poses[..., :3, 3]),
-        jnp.asarray(inst.frame_valid[:, sel]), sh_degree=tcfg.sh_degree,
+        jnp.asarray(frame_valid), sh_degree=tcfg.sh_degree,
         use_voxel_deformer=tcfg.use_voxel_deformer)
 
 

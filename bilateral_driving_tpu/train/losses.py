@@ -26,42 +26,50 @@ def masked_mean(x, mask, eps=1.0):
 
 
 @functools.lru_cache()
-def _ssim_window_np(size=11, sigma=1.5):
-    # cache numpy, not jnp: caching a traced array would leak tracers
+def _ssim_band_np(n: int, size=11, sigma=1.5):
+    """Banded Toeplitz matrix (n-size+1, n) applying the 1-D Gaussian window
+    as a valid convolution. Cached numpy, not jnp (traced-array leak)."""
     import numpy as np
 
     x = np.arange(size) - size // 2
     g = np.exp(-(x ** 2) / (2 * sigma ** 2))
-    g = g / g.sum()
-    return np.outer(g, g).astype("float32")
+    g = (g / g.sum()).astype("float32")
+    m = n - size + 1
+    A = np.zeros((m, n), "float32")
+    for i in range(size):
+        A[np.arange(m), np.arange(m) + i] = g[i]
+    return A
 
 
-def _ssim_window(size=11, sigma=1.5):
-    return jnp.asarray(_ssim_window_np(size, sigma))
+def _filter2d(img, size=11, sigma=1.5):
+    """img (H, W, C): separable 11-tap Gaussian as two banded matmuls.
 
-
-def _filter2d(img, kernel):
-    """img (H, W, C), kernel (k, k): depthwise valid conv."""
-    c = img.shape[-1]
-    k = kernel.shape[0]
-    inp = img.transpose(2, 0, 1)[:, None]           # (C, 1, H, W)
-    ker = jnp.broadcast_to(kernel[None, None], (1, 1, k, k))
-    out = jax.lax.conv_general_dilated(
-        inp, ker, window_strides=(1, 1), padding="VALID")
-    return out[:, 0].transpose(1, 2, 0)
+    Single-channel depthwise convs lower to scalar VPU loops on TPU
+    (measured +1.3 s/step at 544x320 through fwd+bwd); the same filter as
+    (H-10, H) @ img @ (W, W-10) rides the MXU and is ~100x cheaper.
+    """
+    h, w = img.shape[:2]
+    ah = jnp.asarray(_ssim_band_np(h, size, sigma))
+    aw = jnp.asarray(_ssim_band_np(w, size, sigma))
+    # HIGHEST: sigma terms subtract mu^2 — one-pass bf16 matmuls (the TPU
+    # f32 default) lose the low bits that survive that cancellation
+    p = jax.lax.Precision.HIGHEST
+    out = jnp.einsum("ih,hwc->iwc", ah, img, precision=p)
+    return jnp.einsum("jw,iwc->ijc", aw, out, precision=p)
 
 
 def ssim(pred, gt, c1=0.01 ** 2, c2=0.03 ** 2):
-    """Mean SSIM over an (H, W, C) image pair in [0, 1]."""
-    w = _ssim_window()
-    mu_x = _filter2d(pred, w)
-    mu_y = _filter2d(gt, w)
+    """Mean SSIM over an (H, W, C) image pair in [0, 1] (11x11 Gaussian
+    window, the pytorch_msssim formulation used by the reference at
+    base.py:113-115)."""
+    mu_x = _filter2d(pred)
+    mu_y = _filter2d(gt)
     mu_xx = mu_x * mu_x
     mu_yy = mu_y * mu_y
     mu_xy = mu_x * mu_y
-    sigma_x = _filter2d(pred * pred, w) - mu_xx
-    sigma_y = _filter2d(gt * gt, w) - mu_yy
-    sigma_xy = _filter2d(pred * gt, w) - mu_xy
+    sigma_x = _filter2d(pred * pred) - mu_xx
+    sigma_y = _filter2d(gt * gt) - mu_yy
+    sigma_xy = _filter2d(pred * gt) - mu_xy
     s = ((2 * mu_xy + c1) * (2 * sigma_xy + c2)) / (
         (mu_xx + mu_yy + c1) * (sigma_x + sigma_y + c2))
     return jnp.mean(s)

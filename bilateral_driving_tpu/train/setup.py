@@ -98,6 +98,15 @@ def build_smpl(key, model: smpl_model.SMPLModel, betas, root_quats_fi14,
     scales = jnp.full((capacity,), 0.01)
     params, mask = _gauss_dict(key, capacity, means, colors, scales,
                                sh_degree, init_opacity)
+    # mesh-surface geometry init (human_body.py:216-259): normal-aligned
+    # frames and 1-ring-area disk scales replace random quats / constant
+    # scales wherever the model has a real mesh
+    if model.faces.shape[0] > 1:
+        mq, ms = smpl_model.mesh_init_qso(
+            jnp.asarray(template.verts_canonical), model.faces,
+            jax.random.fold_in(key, 11))
+        params["quats"] = jnp.asarray(mq)
+        params["log_scales"] = jnp.asarray(ms)
     params["instances_quats"] = root_quats_fi14
     params["smpl_quats"] = body_quats_fi234
     params["instances_trans"] = trans_fi3

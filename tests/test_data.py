@@ -171,3 +171,87 @@ class TestImportanceSampler:
         picks = np.array([s.propose(np.arange(20)) for _ in range(400)])
         early = (picks < 2).mean()
         assert early > 0.15   # boosted over the uniform 0.1
+
+
+class TestSMPLPoses:
+    def _write_pkl(self, root, F=4):
+        """Synthesize humanpose/smpl.pkl in the 4D-Humans tracked format
+        (nuscenes_sourceloader.py:284-336)."""
+        import pickle
+
+        os.makedirs(os.path.join(root, "humanpose"), exist_ok=True)
+        rng = np.random.RandomState(3)
+
+        def rot_x(a):
+            c, s = np.cos(a), np.sin(a)
+            return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
+
+        body = np.stack([np.stack([rot_x(0.1 * (j + 1) * (f + 1))
+                                   for j in range(23)])
+                         for f in range(F)])          # (F, 23, 3, 3)
+        orient = np.stack([rot_x(0.2 * f) for f in range(F)])
+        d = {
+            "7": {
+                "valid_mask": np.array([True, True, False, True]),
+                "selected_cam_idx": np.zeros(F, np.int64),
+                "smpl": {
+                    "betas": rng.randn(F, 10).astype(np.float32),
+                    "body_pose": body,
+                    "global_orient": orient,
+                },
+            }
+        }
+        with open(os.path.join(root, "humanpose", "smpl.pkl"), "wb") as f:
+            pickle.dump(d, f)
+        return d
+
+    def test_load_smpl_poses_roundtrip(self, fake_scene):
+        import jax.numpy as jnp
+
+        from bilateral_driving_tpu.core import transforms as T
+
+        raw = self._write_pkl(fake_scene)
+        out = scene.load_smpl_poses(fake_scene, [0, 1, 2, 3], np.eye(4))
+        assert out is not None and "7" in out
+        track = out["7"]
+        assert track["quats"].shape == (4, 24, 4)
+        np.testing.assert_array_equal(track["valid"],
+                                      [True, True, False, True])
+        # invalid frame stays identity
+        np.testing.assert_allclose(track["quats"][2, 0], [1, 0, 0, 0])
+        # body joint quats round-trip to the written rotations
+        R = np.asarray(T.quat_to_rotmat(jnp.asarray(track["quats"][1, 1:])))
+        np.testing.assert_allclose(R, raw["7"]["smpl"]["body_pose"][1],
+                                   atol=1e-5)
+        # global orient is world-rotated by the selected camera's c2w; the
+        # fake scene's c2w rotation is identity, so it round-trips directly
+        R0 = np.asarray(T.quat_to_rotmat(jnp.asarray(track["quats"][3, 0])))
+        np.testing.assert_allclose(R0, raw["7"]["smpl"]["global_orient"][3],
+                                   atol=1e-5)
+
+    def test_mesh_init_qso(self):
+        import jax
+
+        from bilateral_driving_tpu.scene import smpl_model
+
+        # regular tetrahedron: all vertex areas equal, normals point outward
+        v = np.array([[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]],
+                     np.float32)[None]
+        f = np.array([[0, 1, 2], [0, 3, 1], [0, 2, 3], [1, 3, 2]])
+        q, s = smpl_model.mesh_init_qso(v, f, jax.random.key(0))
+        assert q.shape == (4, 4) and s.shape == (4, 3)
+        np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
+        # frame z-axis == outward vertex normal (-v/|v| inward for tet ->
+        # normals point away from centroid = +v/|v|)
+        import jax.numpy as jnp
+
+        from bilateral_driving_tpu.core import transforms as T
+
+        R = np.asarray(T.quat_to_rotmat(jnp.asarray(q)))
+        uz = R[:, :, 2]
+        expect = v[0] / np.linalg.norm(v[0], axis=-1, keepdims=True)
+        np.testing.assert_allclose(np.abs(np.sum(uz * expect, -1)), 1.0,
+                                   atol=1e-4)
+        # activated scales exp(logit(r)) stay in surface range
+        r = np.exp(s)
+        assert (r > 0).all() and (r[:, 2] < r[:, 0] + 1e-6).all()

@@ -183,6 +183,32 @@ class TestLosses:
         other = jax.random.uniform(jax.random.key(1), (32, 32, 3))
         assert float(losses.ssim(img, other)) < 0.5
 
+    def test_ssim_matches_depthwise_conv(self):
+        # the banded-matmul formulation must match the reference's
+        # pytorch_msssim-style 11x11 depthwise conv exactly
+        import torch
+        import torch.nn.functional as F
+
+        rng = np.random.RandomState(0)
+        a = rng.rand(40, 52, 3).astype("float32")
+        b = rng.rand(40, 52, 3).astype("float32")
+        ours = float(losses.ssim(jnp.asarray(a), jnp.asarray(b)))
+        x = np.arange(11) - 5
+        g = np.exp(-(x ** 2) / (2 * 1.5 ** 2))
+        g = (g / g.sum()).astype("float32")
+        k = torch.tensor(np.outer(g, g))[None, None].repeat(3, 1, 1, 1)
+        ta = torch.tensor(a).permute(2, 0, 1)[None]
+        tb = torch.tensor(b).permute(2, 0, 1)[None]
+        conv = lambda t: F.conv2d(t, k, groups=3)
+        mx, my = conv(ta), conv(tb)
+        sx = conv(ta * ta) - mx * mx
+        sy = conv(tb * tb) - my * my
+        sxy = conv(ta * tb) - mx * my
+        c1, c2 = 0.01 ** 2, 0.03 ** 2
+        s = ((2 * mx * my + c1) * (2 * sxy + c2)) / (
+            (mx * mx + my * my + c1) * (sx + sy + c2))
+        assert abs(ours - float(s.mean())) < 1e-5
+
     def test_safe_bce_grads_preserved(self):
         # gradient exists even at clipped predictions (losses.py SafeBCE)
         g = jax.grad(lambda x: losses.safe_bce(x, jnp.ones_like(x)))(
