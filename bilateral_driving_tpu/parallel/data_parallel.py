@@ -72,29 +72,35 @@ def parallel_train_step(cfg: trainer_mod.TrainerConfig, statics, mesh: Mesh,
         # sums across the image batch — reduce accordingly
         g_dummy = jax.lax.psum(g_dummy, axis)
         radii = jax.lax.pmax(outputs["info"]["radii"], axis)
+        overflow = jax.lax.pmax(
+            outputs["info"]["overflow"].astype(jnp.int32), axis)
+        num_isects = jax.lax.psum(outputs["info"]["num_isects"], axis)
         psnr = jax.lax.pmean(
             -10.0 * jnp.log10(jnp.maximum(
                 jnp.mean((outputs["rgb"] - batch["pixels"]) ** 2), 1e-12)),
             axis)
-        return total, loss_dict, g_params, g_dummy, radii, psnr
+        return (total, loss_dict, g_params, g_dummy, radii, overflow,
+                num_isects, psnr)
 
     state_specs = P()      # replicated
     grads_sharded = shard_map(
         _grads, mesh=mesh,
         in_specs=(state_specs, P(axis)),
-        out_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
         check_vma=False,
     )
 
     @jax.jit
     def step(state: trainer_mod.TrainerState, stacked_batch
              ) -> Tuple[trainer_mod.TrainerState, Dict]:
-        total, loss_dict, g_params, g_dummy, radii, psnr = grads_sharded(
-            state, stacked_batch)
+        (total, loss_dict, g_params, g_dummy, radii, overflow, num_isects,
+         psnr) = grads_sharded(state, stacked_batch)
         # representative batch for refinement bookkeeping (image size only)
         batch0 = jax.tree.map(lambda x: x[0], stacked_batch)
-        outputs_stub = {"info": {"radii": radii}, "rgb": batch0["pixels"],
-                        "labels": None}
+        outputs_stub = {"info": {"radii": radii,
+                                 "overflow": overflow.astype(bool),
+                                 "num_isects": num_isects},
+                        "rgb": batch0["pixels"], "labels": None}
         new_state, metrics = trainer_mod.apply_grads_and_refine(
             cfg, statics, state, batch0, total, loss_dict, outputs_stub,
             g_params, g_dummy)
