@@ -80,6 +80,9 @@ class SceneData:
     num_cams: int
     width: int
     height: int
+    # per-camera ego-vehicle occlusion mask (H, W) float32, 1 = ego car
+    # visible in that pixel (pixel_source.py:261-281); None when no asset
+    egocar_masks: Optional[np.ndarray] = None   # (num_cams, H, W)
     # tracked SMPL body poses: instance id -> {"quats" (F, 24, 4) world root
     # + 23 body joints, "betas" (10,), "valid" (F,)} (humanpose/smpl.pkl;
     # nuscenes_sourceloader.py:284-336)
@@ -135,7 +138,7 @@ class SceneData:
         c2w = self.cam_to_worlds[image_idx]
         dirs = _pixel_viewdirs(h, w, K, c2w)
         frame = int(self.frame_of_image[image_idx])
-        return {
+        batch = {
             "pixels": jnp.asarray(img),
             "sky_masks": jnp.asarray(sky),
             "lidar_depth_map": jnp.asarray(depth),
@@ -146,15 +149,35 @@ class SceneData:
             "camera_to_world": jnp.asarray(c2w),
             "intrinsics": jnp.asarray(K),
         }
+        if self.egocar_masks is not None:
+            ego = self.egocar_masks[self.cam_of_image[image_idx]]
+            if downscale > 1:
+                ego = ego[::downscale, ::downscale]
+            batch["egocar_masks"] = jnp.asarray(ego)
+        return batch
 
     # ---- scene geometry ----
     def aabb(self) -> np.ndarray:
-        """Scene AABB from camera trajectory (pixel_source.py:754-785
-        simplified: cameras + margin)."""
-        centers = self.cam_to_worlds[:, :3, 3]
-        lo = centers.min(0) - 40.0
-        hi = centers.max(0) + 40.0
-        return np.stack([lo, hi])
+        """Scene AABB from the front-camera trajectory, reference semantics
+        (pixel_source.py:754-785): +/-40 m on the two horizontal axes; the
+        vertical axis extends +20 m clamped to <= 20 (uphill) and -5 m
+        clamped to >= -5 (downhill)."""
+        front = self.cam_of_image == 0
+        centers = self.cam_to_worlds[front, :3, 3]
+        if centers.shape[0] == 0:
+            centers = self.cam_to_worlds[:, :3, 3]
+        lo = centers.min(0).astype(np.float64)
+        hi = centers.max(0).astype(np.float64)
+        hi[0] += 40.0
+        hi[1] += 40.0
+        hi[2] = min(hi[2] + 20.0, 20.0)
+        lo[0] -= 40.0
+        lo[1] -= 40.0
+        lo[2] = max(lo[2] - 5.0, -5.0)
+        # degenerate clamp guard for scenes whose vertical span already
+        # exceeds the reference's absolute caps
+        hi = np.maximum(hi, lo + 1e-3)
+        return np.stack([lo, hi]).astype(np.float32)
 
     def scene_radius(self) -> float:
         centers = self.cam_to_worlds[:, :3, 3]
@@ -195,8 +218,27 @@ def load_scene(
     load_lidar: bool = True,
     compute_depth_maps: bool = True,
     class_to_node: Dict[str, str] = DEFAULT_CLASS_TO_NODE,
+    dataset: Optional[str] = None,
+    undistort: bool = False,
+    ego_mask_dir: Optional[str] = None,
 ) -> SceneData:
+    """Load one processed drivestudio scene.
+
+    `dataset` selects the per-dataset layout (calibration style, camera
+    metadata, lidar record format — see data/meta.py); when None, the
+    nuScenes-style per-frame-extrinsics layout is assumed. `undistort`
+    applies the 5-parameter OpenCV model stored in columns 4:9 of the
+    intrinsics files (pixel_source.py:248-258). `ego_mask_dir` points at the
+    per-camera ego-vehicle masks (`data/ego_masks/<dataset>` in the
+    reference, pixel_source.py:261-281)."""
     from PIL import Image
+
+    from . import meta as meta_mod
+
+    layout = meta_mod.get_layout(dataset)
+    opencv_m = layout.opencv_mat() if layout is not None else np.eye(4)
+    calib_style = layout.calib_style if layout is not None else "per_frame"
+    lidar_format = layout.lidar_format if layout is not None else "xyzi"
 
     img_dir = os.path.join(scene_dir, "images")
     files = sorted(os.listdir(img_dir))
@@ -218,17 +260,56 @@ def load_scene(
     imgs, skys, dyns, hums, vehs = [], [], [], [], []
     c2ws, Ks, frame_of, cam_of = [], [], [], []
 
-    def read_mask(path):
+    # ---- per-camera calibration (intrinsics + distortion) ----
+    cam_K, cam_dist = {}, {}
+    for cam in cameras:
+        intr = np.loadtxt(os.path.join(scene_dir, "intrinsics",
+                                       f"{cam}.txt")).reshape(-1)
+        fx, fy, cx, cy = intr[:4]
+        cam_K[cam] = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+        # columns 4:9 = k1 k2 p1 p2 k3 (nuscenes_sourceloader.py:91)
+        cam_dist[cam] = intr[4:9] if intr.shape[0] >= 9 \
+            else np.zeros(5)
+
+    def _undistort(arr, cam, nearest=False):
+        if not undistort or not np.any(cam_dist[cam]):
+            return arr
+        import cv2
+        return cv2.undistort(arr, cam_K[cam], cam_dist[cam])
+
+    def read_mask(path, cam=None):
         if os.path.exists(path):
-            m = Image.open(path).convert("L").resize((W, H), Image.NEAREST)
-            return (np.asarray(m) > 0).astype(np.float32)
+            a = np.asarray(Image.open(path).convert("L"))
+            if cam is not None:
+                a = _undistort(a, cam, nearest=True)
+            a = np.asarray(Image.fromarray(a).resize((W, H), Image.NEAREST))
+            return (a > 0).astype(np.float32)
         return np.zeros((H, W), np.float32)
 
-    # world recentering on first front-cam pose (nuscenes_sourceloader.py:76)
-    front0_path = os.path.join(scene_dir, "extrinsics",
-                               f"{frames[0]:03d}_{cameras[0]}.txt")
-    inv_first = np.linalg.inv(np.loadtxt(front0_path)) \
-        if os.path.exists(front0_path) else np.eye(4)
+    # ---- world recentering (nuscenes_sourceloader.py:76-78 front cam;
+    # waymo_sourceloader.py:90-99 first ego pose) ----
+    if calib_style == "ego_pose":
+        ego0 = np.loadtxt(os.path.join(scene_dir, "ego_pose",
+                                       f"{frames[0]:03d}.txt"))
+        inv_first = np.linalg.inv(ego0)
+        cam_to_ego = {cam: np.loadtxt(os.path.join(
+            scene_dir, "extrinsics", f"{cam}.txt")) @ opencv_m
+            for cam in cameras}
+        ego_poses = {t: np.loadtxt(os.path.join(
+            scene_dir, "ego_pose", f"{t:03d}.txt")) for t in frames}
+
+        def cam_pose(t, cam):
+            return inv_first @ ego_poses[t] @ cam_to_ego[cam]
+    else:
+        front0_path = os.path.join(scene_dir, "extrinsics",
+                                   f"{frames[0]:03d}_{cameras[0]}.txt")
+        inv_first = np.linalg.inv(np.loadtxt(front0_path)) \
+            if os.path.exists(front0_path) else np.eye(4)
+
+        def cam_pose(t, cam):
+            c2w = np.loadtxt(os.path.join(
+                scene_dir, "extrinsics", f"{t:03d}_{cam}.txt"))
+            return inv_first @ c2w @ opencv_m
 
     for fi, t in enumerate(frames):
         for ci, cam in enumerate(cameras):
@@ -236,36 +317,67 @@ def load_scene(
                 os.path.join(img_dir, f"{t:03d}_{cam}.jpg")).convert("RGB")
             scale_x = W / img.width
             scale_y = H / img.height
-            imgs.append(np.asarray(img.resize((W, H), Image.BILINEAR),
-                                   np.float32) / 255.0)
+            rgb = _undistort(np.asarray(img), cam)
+            imgs.append(np.asarray(
+                Image.fromarray(rgb).resize((W, H), Image.BILINEAR),
+                np.float32) / 255.0)
             skys.append(read_mask(os.path.join(
-                scene_dir, "sky_masks", f"{t:03d}_{cam}.png")))
+                scene_dir, "sky_masks", f"{t:03d}_{cam}.png"), cam))
             dyns.append(read_mask(os.path.join(
-                scene_dir, dyn_dir, "all", f"{t:03d}_{cam}.png")))
+                scene_dir, dyn_dir, "all", f"{t:03d}_{cam}.png"), cam))
             hums.append(read_mask(os.path.join(
-                scene_dir, dyn_dir, "human", f"{t:03d}_{cam}.png")))
+                scene_dir, dyn_dir, "human", f"{t:03d}_{cam}.png"), cam))
             vehs.append(read_mask(os.path.join(
-                scene_dir, dyn_dir, "vehicle", f"{t:03d}_{cam}.png")))
-            c2w = np.loadtxt(os.path.join(
-                scene_dir, "extrinsics", f"{t:03d}_{cam}.txt"))
-            c2ws.append(inv_first @ c2w)
-            intr = np.loadtxt(os.path.join(scene_dir, "intrinsics",
-                                           f"{cam}.txt")).reshape(-1)
-            fx, fy, cx, cy = intr[:4]
-            Ks.append(np.array([[fx * scale_x, 0, cx * scale_x],
-                                [0, fy * scale_y, cy * scale_y],
-                                [0, 0, 1.0]]))
+                scene_dir, dyn_dir, "vehicle", f"{t:03d}_{cam}.png"), cam))
+            c2ws.append(cam_pose(t, cam))
+            K = cam_K[cam]
+            Ks.append(np.array(
+                [[K[0, 0] * scale_x, 0, K[0, 2] * scale_x],
+                 [0, K[1, 1] * scale_y, K[1, 2] * scale_y],
+                 [0, 0, 1.0]]))
             frame_of.append(fi)
             cam_of.append(ci)
+
+    # ---- per-camera ego-vehicle masks (pixel_source.py:261-281) ----
+    egocar = None
+    if ego_mask_dir is None and dataset is not None:
+        ego_mask_dir = os.path.join("data", "ego_masks",
+                                    dataset.split("/")[0])
+    if ego_mask_dir is not None and os.path.isdir(ego_mask_dir):
+        rows = []
+        any_found = False
+        for cam in cameras:
+            p = os.path.join(ego_mask_dir, f"{cam}.png")
+            if os.path.exists(p):
+                m = np.asarray(Image.open(p).convert("L"))
+                m = _undistort(m, cam, nearest=True)
+                m = np.asarray(Image.fromarray(m).resize((W, H),
+                                                         Image.NEAREST))
+                rows.append((m > 0).astype(np.float32))
+                any_found = True
+            else:
+                rows.append(np.zeros((H, W), np.float32))
+        if any_found:
+            egocar = np.stack(rows)
 
     lidar_pts = []
     if load_lidar and os.path.isdir(os.path.join(scene_dir, "lidar")):
         for t in frames:
-            pts = np.fromfile(os.path.join(scene_dir, "lidar", f"{t:03d}.bin"),
-                              dtype=np.float32).reshape(-1, 4)[:, :3]
-            pose_f = os.path.join(scene_dir, "lidar_pose", f"{t:03d}.txt")
-            l2w = np.loadtxt(pose_f) if os.path.exists(pose_f) else np.eye(4)
-            l2w = inv_first @ l2w
+            raw = np.fromfile(os.path.join(scene_dir, "lidar", f"{t:03d}.bin"),
+                              dtype=np.float32)
+            if lidar_format == "waymo14":
+                # (N, 14) rows: origin(3) point(3) ... in the ego frame of
+                # frame t (waymo_sourceloader.py:391-399); transform by the
+                # recentered ego pose
+                pts = raw.reshape(-1, 14)[:, 3:6]
+                l2w = inv_first @ np.loadtxt(os.path.join(
+                    scene_dir, "ego_pose", f"{t:03d}.txt"))
+            else:
+                pts = raw.reshape(-1, 4)[:, :3]
+                pose_f = os.path.join(scene_dir, "lidar_pose", f"{t:03d}.txt")
+                l2w = np.loadtxt(pose_f) if os.path.exists(pose_f) \
+                    else np.eye(4)
+                l2w = inv_first @ l2w
             lidar_pts.append(
                 (pts @ l2w[:3, :3].T + l2w[:3, 3]).astype(np.float32))
     else:
@@ -288,6 +400,7 @@ def load_scene(
         num_cams=len(cameras),
         width=W,
         height=H,
+        egocar_masks=egocar,
     )
     if compute_depth_maps and any(p.shape[0] for p in lidar_pts):
         data.lidar_depth_maps = project_lidar_depth(data)

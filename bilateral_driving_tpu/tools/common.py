@@ -126,7 +126,10 @@ def build_real_scene(key, cfg: ConfigDict, interpret=False):
     data = scene_mod.load_scene(
         d.scene_dir, cameras=tuple(d.get("cameras", (0,))),
         start_frame=d.get("start_frame", 0), end_frame=d.get("end_frame", -1),
-        downscale=d.get("downscale", 1.0))
+        downscale=d.get("downscale", 1.0),
+        dataset=d.get("dataset", None),
+        undistort=d.get("undistort", False),
+        ego_mask_dir=d.get("ego_mask_dir", None))
     tcfg = trainer_config_from(cfg, data.num_images, data.num_frames,
                                data.scene_radius(), interpret)
     params = setup.build_models(key, tcfg)

@@ -255,3 +255,82 @@ class TestSMPLPoses:
         # activated scales exp(logit(r)) stay in surface range
         r = np.exp(s)
         assert (r > 0).all() and (r[:, 2] < r[:, 0] + 1e-6).all()
+
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.mark.skipif(not os.path.isdir(os.path.join(FIXDIR,
+                                                   "mini_scene_nuscenes")),
+                    reason="committed fixtures absent")
+class TestCommittedFixtures:
+    """Loader tests against the *committed* drivestudio-layout mini-scenes
+    (format-pinning fixtures, tests/fixtures/make_mini_scene.py)."""
+
+    def test_nuscenes_layout(self):
+        data = scene.load_scene(
+            os.path.join(FIXDIR, "mini_scene_nuscenes"), cameras=(0, 1),
+            dataset="nuscenes", undistort=True,
+            ego_mask_dir=os.path.join(FIXDIR, "ego_masks"))
+        assert data.num_frames == 3 and data.num_cams == 2
+        assert data.images.shape == (6, 48, 64, 3)
+        # world recentered on first front-cam pose -> identity
+        np.testing.assert_allclose(data.cam_to_worlds[0], np.eye(4),
+                                   atol=1e-6)
+        # per-camera ego masks: cam 1 has a hood band, cam 0 none
+        assert data.egocar_masks is not None
+        assert data.egocar_masks[0].sum() == 0
+        assert data.egocar_masks[1].sum() > 0
+        b = data.get_batch(1)
+        assert "egocar_masks" in b and b["egocar_masks"].shape == (48, 64)
+        # lidar present and in world frame (finite, plausible range)
+        assert data.lidar_points[0].shape[0] == 256
+        assert np.isfinite(data.lidar_points[0]).all()
+        # tracked SMPL poses parsed from humanpose/smpl.pkl
+        assert data.smpl_poses is not None and "1" in data.smpl_poses
+        sp = data.smpl_poses["1"]
+        assert sp["quats"].shape == (3, 24, 4)
+        assert sp["valid"].tolist() == [True, True, False]
+
+    def test_nuscenes_undistort_changes_pixels(self):
+        root = os.path.join(FIXDIR, "mini_scene_nuscenes")
+        d0 = scene.load_scene(root, cameras=(1,), dataset="nuscenes",
+                              undistort=False)
+        d1 = scene.load_scene(root, cameras=(1,), dataset="nuscenes",
+                              undistort=True)
+        # cam 1 carries nonzero distortion -> undistortion must change pixels
+        assert np.abs(d0.images - d1.images).max() > 1e-3
+
+    def test_waymo_layout(self):
+        from bilateral_driving_tpu.data import meta
+
+        data = scene.load_scene(
+            os.path.join(FIXDIR, "mini_scene_waymo"), cameras=(0, 1),
+            dataset="waymo")
+        assert data.num_frames == 3
+        # c2w = inv(ego0) @ ego_t @ cam_to_ego @ OPENCV2DATASET
+        root = os.path.join(FIXDIR, "mini_scene_waymo")
+        ego0 = np.loadtxt(os.path.join(root, "ego_pose", "000.txt"))
+        ego2 = np.loadtxt(os.path.join(root, "ego_pose", "002.txt"))
+        c2e = np.loadtxt(os.path.join(root, "extrinsics", "0.txt"))
+        expect = np.linalg.inv(ego0) @ ego2 @ c2e @ \
+            meta.DATASETS["waymo"].opencv_mat()
+        np.testing.assert_allclose(data.cam_to_worlds[4], expect, atol=1e-6)
+        # waymo 14-column lidar parsed, ego->recentered-world transform
+        raw = np.fromfile(os.path.join(root, "lidar", "001.bin"),
+                          np.float32).reshape(-1, 14)
+        ego1 = np.loadtxt(os.path.join(root, "ego_pose", "001.txt"))
+        l2w = np.linalg.inv(ego0) @ ego1
+        expect_pts = raw[:, 3:6] @ l2w[:3, :3].T + l2w[:3, 3]
+        np.testing.assert_allclose(data.lidar_points[1], expect_pts,
+                                   atol=1e-4)
+
+    def test_reference_aabb_semantics(self):
+        data = scene.load_scene(
+            os.path.join(FIXDIR, "mini_scene_nuscenes"), cameras=(0, 1),
+            dataset="nuscenes")
+        aabb = data.aabb()
+        front = data.cam_to_worlds[data.cam_of_image == 0, :3, 3]
+        np.testing.assert_allclose(aabb[1][0], front[:, 0].max() + 40.0,
+                                   atol=1e-4)
+        assert aabb[1][2] <= 20.0 and aabb[0][2] >= -5.0
