@@ -37,30 +37,50 @@ def ssim(pred, gt, mask=None) -> float:
     return float(loss_lib.ssim(jnp.asarray(pred), jnp.asarray(gt)))
 
 
-_lpips_model = None
+_lpips_params = None
 _lpips_failed = False
 
 
+def _find_lpips_weights():
+    import os
+    cand = [os.environ.get("BILATERAL_LPIPS_WEIGHTS", ""),
+            "data/lpips_vgg.npz"]
+    for c in cand:
+        if c and os.path.exists(c):
+            return c
+    return None
+
+
 def lpips(pred, gt) -> Optional[float]:
-    """LPIPS (VGG) if the pretrained weights are available offline."""
-    global _lpips_model, _lpips_failed
+    """LPIPS (VGG) via the pure-JAX port (eval/lpips_jax.py). Needs the
+    exported weight npz (tools/export_lpips_weights.py); falls back to the
+    torch `lpips` package if that happens to be installed; else None."""
+    global _lpips_params, _lpips_failed
     if _lpips_failed:
         return None
-    if _lpips_model is None:
-        try:
-            import lpips as lpips_pkg  # noqa
-            import torch
-
-            _lpips_model = lpips_pkg.LPIPS(net="vgg")
-        except Exception:
-            _lpips_failed = True
-            return None
+    if _lpips_params is None:
+        path = _find_lpips_weights()
+        if path is not None:
+            from . import lpips_jax
+            _lpips_params = ("jax", lpips_jax.load_weights_npz(path))
+        else:
+            try:
+                import lpips as lpips_pkg  # noqa
+                _lpips_params = ("torch", lpips_pkg.LPIPS(net="vgg"))
+            except Exception:
+                _lpips_failed = True
+                return None
+    kind, model = _lpips_params
+    if kind == "jax":
+        from . import lpips_jax
+        return float(lpips_jax.lpips(model, jnp.asarray(pred, jnp.float32),
+                                     jnp.asarray(gt, jnp.float32)))
     import torch
 
     with torch.no_grad():
         a = torch.from_numpy(np.asarray(pred, np.float32)).permute(2, 0, 1)[None] * 2 - 1
         b = torch.from_numpy(np.asarray(gt, np.float32)).permute(2, 0, 1)[None] * 2 - 1
-        return float(_lpips_model(a, b).item())
+        return float(model(a, b).item())
 
 
 def depth_to_points(depth: np.ndarray, K: np.ndarray,
