@@ -5,17 +5,20 @@ trainer uses (project/models/trainers/base.py:393-432): Gaussian params +
 camera in, `{rgb, depth, alpha}` + projection info out, with `RGB+ED`
 expected-depth semantics and per-Gaussian radii for the visibility filter.
 
-Differentiation strategy (TPU-native, no atomics):
-  * projection (ops/projection.py) and the per-intersection feature
-    construction below are pure JAX — autodiff handles them;
-  * binning (ops/binning.py) is index computation under stop_gradient;
-  * only the tile compositing kernel carries a custom VJP
-    (ops/rasterize_pallas.py); its backward emits *per-intersection* feature
-    gradients, which the VJP of the feature gather (`table[gauss_ids]`)
-    automatically segment-sums into per-Gaussian gradients — deterministic,
-    atomic-free, and exactly the gradient gsplat scatters with atomics.
-  * `mean2d_sink`: an optional zeros array added to the *gathered* 2D means;
-    its gradient is the per-intersection screen-space gradient, giving the
+Differentiation strategy (TPU-native, no atomics, no random scatters):
+  * projection (ops/projection.py) is pure JAX — autodiff handles it;
+  * per-Gaussian feature rows are gathered to expansion order with ONE
+    monotone row-gather, then *ride the binning sort as payloads*
+    (`_expand_sort` below) — on TPU a multi-payload `lax.sort` costs a
+    fraction of the post-sort random gather + relayout scatter it replaces;
+  * the tile compositing kernel (ops/rasterize_pallas.py) carries a custom
+    VJP emitting *per-intersection* gradients in the sorted layout;
+  * `_expand_sort`'s VJP un-sorts those cotangents with a second payload
+    sort (key = expansion index) and segment-sums them per Gaussian with a
+    hierarchical prefix scan — deterministic and exactly the gradient gsplat
+    accumulates with atomics;
+  * `mean2d_sink`: optional zeros added to the sorted screen-mean rows; its
+    gradient is the per-intersection screen-space gradient, giving the
     `absgrad` densification statistic (reference base.py:281-286) via plain
     `jax.grad` — no side channels.
 """
@@ -29,9 +32,11 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from . import binning, projection
+from . import binning, projection, scan_utils
 from .binning import CHUNK, TILE, num_tiles
-from .rasterize_pallas import rasterize_bwd, rasterize_fwd
+from .rasterize_pallas import FEAT, rasterize_bwd, rasterize_fwd
+
+N_PAYLOAD = 10      # sorted feature columns: x y a b c logop r g b depth
 
 
 @struct.dataclass
@@ -45,8 +50,44 @@ class RasterizeConfig:
 
 
 def isect_buffer_size(width: int, height: int, isect_capacity: int) -> int:
-    ntx, nty = num_tiles(width, height)
-    return isect_capacity + ntx * nty * CHUNK
+    """Per-intersection buffer length (sorted layout == capacity)."""
+    del width, height
+    return isect_capacity
+
+
+CAP_BUCKET = 2 ** 17
+
+
+def probe_num_isects(means, quats, scales, viewmat, K, width: int,
+                     height: int, cfg: "RasterizeConfig" = None) -> int:
+    """Cheap pre-pass (projection + tile spans only, no kernel compile)
+    counting the scene's tile intersections for `autotune_capacity`."""
+    cfg = cfg or RasterizeConfig()
+
+    @jax.jit
+    def count(means, quats, scales, viewmat, K):
+        proj = projection.project(
+            means, quats, scales, viewmat, K, width, height,
+            near_plane=cfg.near_plane, far_plane=cfg.far_plane,
+            radius_clip=cfg.radius_clip, antialiased=cfg.antialiased)
+        sp = binning.spans(proj.means2d, proj.radii, proj.valid, width,
+                           height)
+        return jnp.sum(sp.counts)
+
+    return int(count(means, quats, scales, viewmat, K))
+
+
+def autotune_capacity(num_isects: int, margin: float = 1.35,
+                      floor: int = CAP_BUCKET) -> int:
+    """Bucketed intersection capacity from measured occupancy.
+
+    Every binning pass is O(capacity), so running a 0.6M-intersection scene
+    at the 2^21 default wastes ~3x the sort/scan/kernel-mask work. Callers
+    probe `info.num_isects` once (or watch `info.overflow` during training)
+    and re-jit with the returned bucket; buckets are multiples of 2^17 so
+    recompiles are rare and amortized."""
+    want = max(int(num_isects * margin), floor)
+    return -(-want // CAP_BUCKET) * CAP_BUCKET
 
 
 # --------------------------------------------------------------------------
@@ -54,69 +95,96 @@ def isect_buffer_size(width: int, height: int, isect_capacity: int) -> int:
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _render_tiles(feats, starts, chunks, n_tiles, interpret):
-    return rasterize_fwd(feats, starts, chunks, n_tiles, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _render_tiles(feats, starts, counts, width, height, interpret):
+    img, _, _, _ = rasterize_fwd(feats, starts, counts, width, height,
+                                 interpret=interpret)
+    return img
 
 
-def _render_tiles_fwd(feats, starts, chunks, n_tiles, interpret):
-    out = rasterize_fwd(feats, starts, chunks, n_tiles, interpret=interpret)
-    return out, (feats, starts, chunks)
+def _render_tiles_fwd(feats, starts, counts, width, height, interpret):
+    img, tc_ckpt, tc_side, n_live = rasterize_fwd(
+        feats, starts, counts, width, height, interpret=interpret)
+    return img, (feats, starts, counts, tc_ckpt, tc_side, n_live)
 
 
-def _render_tiles_bwd(n_tiles, interpret, res, g):
-    feats, starts, chunks = res
-    d_feats = rasterize_bwd(feats, starts, chunks, g, n_tiles,
-                            interpret=interpret)
+def _render_tiles_bwd(width, height, interpret, res, g):
+    feats, starts, counts, tc_ckpt, tc_side, n_live = res
+    d_feats = rasterize_bwd(feats, starts, counts, n_live, tc_ckpt, tc_side,
+                            g, width, height, interpret=interpret)
     int_zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    return d_feats, int_zero(starts), int_zero(chunks)
+    return d_feats, int_zero(starts), int_zero(counts)
 
 
 _render_tiles.defvjp(_render_tiles_fwd, _render_tiles_bwd)
 
 
 # --------------------------------------------------------------------------
-# per-Gaussian -> per-intersection gather with a scan-based VJP
+# expansion gather + payload-carrying sort with a sort-based VJP
 # --------------------------------------------------------------------------
+# table columns (N+1 rows; last row is the zero-opacity dummy):
+#   0 tx0, 1 ty0, 2 span_w, 3 seg_start           (stop-gradient span data)
+#   4 x, 5 y, 6 a, 7 b, 8 c, 9 logop, 10 r, 11 g, 12 b, 13 depth
+_COL_FEAT0 = 4
 
 
-@jax.custom_vjp
-def _gather_rows(table, gid, dest_exp, offsets):
-    """table[gid] with a fast backward: XLA's scatter-add for the gather VJP
-    runs at ~10 M rows/s on TPU (hundreds of ms per step at driving-scene
-    scale). Instead, cotangent rows are re-ordered into *expansion order*
-    (grouped by Gaussian, boundaries = `offsets` from binning) via one row
-    gather, then segment-summed with a hierarchical prefix scan — O(M)
-    bandwidth, no scatter."""
-    return table[gid]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _expand_sort(table, exp, ntx, n_tiles):
+    out, _ = _expand_sort_do(table, exp, ntx, n_tiles)
+    return out
 
 
-def _gather_rows_fwd(table, gid, dest_exp, offsets):
-    return table[gid], (table.shape, gid, dest_exp, offsets)
+def _expand_sort_do(table, exp: binning.Expansion, ntx, n_tiles):
+    gt = table[exp.g]                                   # (cap, 14) one gather
+    tile = binning.entry_tiles(
+        gt[:, 0].astype(jnp.int32), gt[:, 1].astype(jnp.int32),
+        jnp.maximum(gt[:, 2].astype(jnp.int32), 1),
+        gt[:, 3].astype(jnp.int32), exp.m_idx, ntx)
+    key = binning.pack_keys(tile, gt[:, 13], n_tiles, exp.entry_valid)
+    ops = (key, exp.g, exp.m_idx) + tuple(
+        gt[:, _COL_FEAT0 + i] for i in range(N_PAYLOAD))
+    sorted_ = jax.lax.sort(ops, dimension=0, num_keys=1, is_stable=False)
+    key_s, gid_s, eidx_s = sorted_[0], sorted_[1], sorted_[2]
+    feats_s = jnp.stack(sorted_[3:], axis=0)            # (N_PAYLOAD, cap)
+    return (key_s, gid_s, feats_s), eidx_s
 
 
-def _gather_rows_bwd(res, d):
-    from . import scan_utils
+def _expand_sort_fwd(table, exp, ntx, n_tiles):
+    out, eidx_s = _expand_sort_do(table, exp, ntx, n_tiles)
+    return out, (eidx_s, exp, table.shape)
 
-    (tshape, gid, dest_exp, offsets) = res
-    m_al, c = d.shape
-    cap = dest_exp.shape[0]
-    m_total = offsets[-1]
-    # cotangents in expansion order; out-of-range slots clamp -> mask them
-    ds = d[jnp.clip(dest_exp, 0, m_al - 1)]
-    valid = (jnp.arange(cap, dtype=jnp.int32) < m_total)[:, None]
-    ds = jnp.where(valid, ds, 0.0)
-    cs = scan_utils.cumsum_rows(ds.T)                      # (C, cap) inclusive
-    cs = jnp.concatenate([jnp.zeros((c, 1), d.dtype), cs], axis=1)
-    seg = cs[:, offsets]                                    # (C, N+1)
-    d_table = (seg[:, 1:] - seg[:, :-1]).T                  # (N, C)
+
+def _expand_sort_bwd(ntx, n_tiles, res, cots):
+    eidx_s, exp, tshape = res
+    offsets, num_isects = exp.offsets, exp.num_isects
+    _, _, d_feats_s = cots
+    cap = eidx_s.shape[0]
+    # un-sort cotangents to expansion order: a payload sort keyed by the
+    # expansion index (random row-gather/scatter by the inverse permutation
+    # costs ~4x a payload sort on TPU)
+    unsorted = jax.lax.sort(
+        (eidx_s,) + tuple(d_feats_s[i] for i in range(N_PAYLOAD)),
+        dimension=0, num_keys=1, is_stable=False)
+    d_exp = jnp.stack(unsorted[1:], axis=0)             # (N_PAYLOAD, cap)
+    valid = (jnp.arange(cap, dtype=jnp.int32) < num_isects)[None, :]
+    d_exp = jnp.where(valid, d_exp, 0.0)
+    # per-Gaussian segment sums via inclusive prefix scan + boundary diffs
+    cs = scan_utils.cumsum_rows(d_exp)                  # (C, cap)
+    cs = jnp.concatenate([jnp.zeros((N_PAYLOAD, 1), cs.dtype), cs], axis=1)
+    seg = cs[:, offsets]                                # (C, N+1)
+    d_cols = (seg[:, 1:] - seg[:, :-1]).T               # (N, C)
+    d_cols = jnp.concatenate(
+        [d_cols, jnp.zeros((tshape[0] - d_cols.shape[0], N_PAYLOAD),
+                           d_cols.dtype)])
     d_table = jnp.concatenate(
-        [d_table, jnp.zeros((tshape[0] - d_table.shape[0], c), d.dtype)])
+        [jnp.zeros((tshape[0], _COL_FEAT0), d_cols.dtype), d_cols], axis=1)
+    # Expansion carries only integer/bool arrays -> float0 zeros
     int_zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    return d_table, int_zero(gid), int_zero(dest_exp), int_zero(offsets)
+    d_exp = jax.tree.map(int_zero, exp)
+    return d_table, d_exp
 
 
-_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+_expand_sort.defvjp(_expand_sort_fwd, _expand_sort_bwd)
 
 
 # --------------------------------------------------------------------------
@@ -145,14 +213,15 @@ def rasterize(
       opacities: (N,) in [0,1] (post-sigmoid).
       colors: (N,3) RGB (post-SH evaluation, as gsplat receives them).
       viewmat: (4,4) world->camera; K: (3,3); width/height: static ints.
-      mean2d_sink: optional zeros of shape (isect_buffer_size(...), 2); its
-        gradient is the per-intersection screen-gradient (absgrad source).
+      mean2d_sink: optional zeros of shape (isect_capacity, 2); its gradient
+        is the per-intersection screen-gradient (absgrad source).
     Returns:
       dict with rgb (H,W,3), depth (H,W,1) expected depth, alpha (H,W,1),
       and info {means2d, depths, radii, valid, num_isects, overflow,
       gauss_ids}.
     """
     n = means.shape[0]
+    cap = cfg.isect_capacity
     proj = projection.project(
         means, quats, scales, viewmat, K, width, height,
         near_plane=cfg.near_plane, far_plane=cfg.far_plane,
@@ -163,68 +232,50 @@ def rasterize(
         # gradient (replaces `info["means2d"].retain_grad()`, base.py:430)
         proj = proj._replace(means2d=proj.means2d + means2d_dummy)
     sg = jax.lax.stop_gradient
-    isect = binning.bin_gaussians(
-        sg(proj.means2d), sg(proj.radii), sg(proj.depths), sg(proj.valid),
-        width, height, cfg.isect_capacity,
-    )
+    ntx, nty = num_tiles(width, height)
+    n_tiles = ntx * nty
+
+    sp = binning.spans(sg(proj.means2d), sg(proj.radii), sg(proj.valid),
+                       width, height)
+    exp = binning.expand(sp.counts, cap)
 
     op_eff = opacities * proj.compensations * proj.valid.astype(means.dtype)
+    logop = jnp.log(jnp.maximum(op_eff, 1e-12))
 
-    # per-Gaussian feature table, padded with a zero dummy row at index N
     table = jnp.concatenate(
         [
-            proj.means2d,                    # 0:2
-            proj.conics,                     # 2:5
-            op_eff[:, None],                 # 5
-            colors,                          # 6:9
-            proj.depths[:, None],            # 9
+            sg(sp.tx0.astype(jnp.float32))[:, None],
+            sg(sp.ty0.astype(jnp.float32))[:, None],
+            sg(sp.span_w.astype(jnp.float32))[:, None],
+            sg(exp.offsets[:-1].astype(jnp.float32))[:, None],
+            proj.means2d,                    # 4:6 x, y
+            proj.conics,                     # 6:9 a, b, c
+            logop[:, None],                  # 9
+            colors,                          # 10:13
+            proj.depths[:, None],            # 13
         ],
         axis=1,
     )
-    table = jnp.concatenate([table, jnp.zeros((1, table.shape[1]), table.dtype)])
+    # dummy padding row: zero spans, -30 log-opacity (alpha below the 1/255
+    # gate for any plausible sigma)
+    dummy = jnp.zeros((1, table.shape[1]), table.dtype).at[0, 9].set(-30.0)
+    table = jnp.concatenate([table, dummy])
 
-    gid = isect.gauss_ids
-    gf = _gather_rows(table, gid, isect.dest, isect.offsets)  # (M_aligned, 10)
+    key_s, gid_s, feats_s = _expand_sort(table, exp, ntx, n_tiles)
+    tile_s = binning.tiles_of_keys(sg(key_s), n_tiles)
+    starts, counts = binning.tile_ranges(tile_s, sg(exp.num_isects), n_tiles,
+                                         cap)
 
-    ntx, _ = num_tiles(width, height)
-    ox = (isect.isect_tile % ntx).astype(jnp.float32) * TILE
-    oy = (isect.isect_tile // ntx).astype(jnp.float32) * TILE
-    m2d = gf[:, 0:2]
     if mean2d_sink is not None:
-        m2d = m2d + mean2d_sink
-    mx = m2d[:, 0] - ox
-    my = m2d[:, 1] - oy
-    a, b, c = gf[:, 2], gf[:, 3], gf[:, 4]
-    # σ′ = σ − log(opacity): α = exp(-σ′) needs no separate opacity feature,
-    # and d(opacity) falls out of this line's autodiff.
-    log_op = jnp.log(jnp.maximum(gf[:, 5], 1e-12))
-    m_al = gid.shape[0]
-    zeros = jnp.zeros((m_al,), means.dtype)
-    feats = jnp.stack(
-        [
-            0.5 * a,
-            0.5 * c,
-            b,
-            -(a * mx + b * my),
-            -(c * my + b * mx),
-            0.5 * a * mx * mx + 0.5 * c * my * my + b * mx * my - log_op,
-            zeros,
-            zeros,
-            gf[:, 6],                       # r
-            gf[:, 7],                       # g
-            gf[:, 8],                       # b
-            gf[:, 9],                       # depth
-            jnp.ones((m_al,), means.dtype),  # alpha-accumulator channel
-            zeros,
-            zeros,
-            zeros,
-        ],
-        axis=0,
-    )  # (16, M_aligned) structure-of-arrays, see rasterize_pallas docstring
+        feats_s = jnp.concatenate(
+            [feats_s[0:2] + mean2d_sink.T, feats_s[2:]], axis=0)
 
-    n_tiles_total = ntx * num_tiles(width, height)[1]
-    out = _render_tiles(feats, isect.tile_starts, isect.tile_chunks,
-                        n_tiles_total, cfg.interpret)
+    # the sorted payload rows ARE the kernel feature layout, zero-padded to
+    # 16 sublanes (rasterize_pallas docstring)
+    feats16 = jnp.concatenate(
+        [feats_s, jnp.zeros((FEAT - N_PAYLOAD, cap), feats_s.dtype)], axis=0)
+    out = _render_tiles(feats16, starts, counts, width, height,
+                        cfg.interpret)
 
     rgb, depth_acc, alpha = _unpack(out, width, height)
     depth = depth_acc / jnp.clip(alpha, 1e-10, None)  # gsplat "ED" semantics
@@ -237,9 +288,9 @@ def rasterize(
             "depths": proj.depths,
             "radii": proj.radii,
             "valid": proj.valid,
-            "num_isects": isect.num_isects,
-            "overflow": isect.overflow,
-            "gauss_ids": gid,
+            "num_isects": exp.num_isects,
+            "overflow": exp.overflow,
+            "gauss_ids": sg(gid_s),
         },
     }
 
@@ -256,5 +307,6 @@ def _unpack(out: jax.Array, width: int, height: int):
 def absgrad_from_sink(d_sink: jax.Array, gauss_ids: jax.Array, n: int):
     """Accumulate |per-intersection screen grads| per Gaussian: the gsplat
     `absgrad` statistic (means2d.absgrad, reference base.py:281-286)."""
-    acc = jnp.zeros((n + 1, 2), d_sink.dtype).at[gauss_ids].add(jnp.abs(d_sink))
+    acc = jnp.zeros((n + 1, 2), d_sink.dtype).at[
+        jnp.minimum(gauss_ids, n)].add(jnp.abs(d_sink))
     return acc[:n]

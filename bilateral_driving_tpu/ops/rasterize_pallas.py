@@ -8,38 +8,39 @@ compositing as dense linear algebra so both passes run on the MXU:
 
   * One grid program per 32×32 pixel tile; the tile's 1024 pixels live as one
     (8, 128) VPU block.
-  * The depth-sorted intersection list of the tile (built by ops/binning.py,
-    chunk-aligned) is streamed from HBM in double-buffered chunks of
-    CHUNK=128 intersections. Features are stored structure-of-arrays,
-    (16, M): chunk DMA slices the 128-aligned M axis, which is the only
-    HBM slicing Mosaic allows, and every in-kernel operand arrives already
-    transposed for the MXU.
-  * α = exp(-σ′) where σ′ = ½ dᵀΣ⁻¹d − log(opacity) is a quadratic in pixel
-    coords, so evaluating a chunk is one (128, 8) @ (8, 1024) matmul of
-    per-intersection quadratic coefficients against a fixed pixel-monomial
-    basis [x², y², xy, x, y, 1] (log-opacity folded into the constant term;
-    its gradient falls out of the coefficient construction's autodiff in
-    ops/pipeline.py). Coefficients are built against the *tile-local* origin
-    so f32 never sees catastrophic cancellation.
+  * The depth-sorted intersection list (built by ops/binning.py; the sort
+    carries the feature columns as payloads) is read *in place*: a tile's
+    range [start, start+count) is streamed as global 128-aligned chunks, with
+    entries outside the range masked in-kernel (alpha := 0). No chunk-aligned
+    relayout buffer exists.
+  * Features are raw per-intersection rows (16, M): conic a/b/c, screen-space
+    mean x/y, log-opacity, r/g/b, depth. The tile-local quadratic
+    coefficients are built *in-kernel* against the tile origin (so f32 never
+    sees catastrophic cancellation), keeping the HBM features independent of
+    the owning tile — which is what lets them ride the binning sort.
+  * α = exp(-σ′), σ′ = ½ dᵀΣ⁻¹d − log(opacity), a quadratic in pixel coords:
+    evaluating a chunk is one (128, 8) @ (8, 1024) matmul of coefficients
+    against a fixed pixel-monomial basis [x², y², xy, x, y, 1].
   * Front-to-back transmittance is a prefix-sum of log(1-α): a strictly
     lower-triangular (128, 128) @ (128, 1024) matmul in log space.
   * Channel accumulation is colorsᵀ (8, 128) @ w (128, 1024) — the constant
     "1" channel makes the same matmul produce the alpha image.
-  * Backward needs suffix sums of downstream contributions — the strictly
-    *upper*-triangular matmul — plus per-intersection gradients written to
-    disjoint chunk-aligned slots: **no atomics anywhere**; the caller
-    segment-sums per-intersection gradients to Gaussians via the VJP of the
-    feature gather.
-  * Early termination is a per-chunk skip (`pl.when`) once max transmittance
-    in the tile falls below 1e-4, matching gsplat's per-pixel cutoff in
-    effect while keeping control flow compile-time static.
+  * The forward *checkpoints each chunk's entry transmittance to HBM* and
+    emits the per-tile live-chunk count, so the backward is a single reverse
+    sweep (the round-1 design re-ran a forward pass inside the backward).
+  * Backward gradients for a chunk owned by exactly one tile are DMA'd to
+    their aligned slots directly; chunks shared across tile boundaries go to
+    a small per-tile side buffer that the caller scatter-adds back (≤2 per
+    tile) — **no atomics anywhere**, deterministic.
+  * Early termination is a real `while_loop` exit once max transmittance in
+    the tile falls below 1e-4, matching gsplat's per-pixel cutoff in effect
+    while keeping control flow compile-time static.
 
-Feature layout, (16, M) f32, built by ops/pipeline.py:
-  rows 0..5   quadratic coeffs matching basis rows [x², y², xy, x, y, 1];
-              row 5 carries the constant term minus log(opacity)
-  rows 6..7   zero padding (so the basis matmul contracts over 8 sublanes)
-  rows 8..12  composited channels [r, g, b, depth, 1]
-  rows 13..15 zero padding
+Feature layout, (16, M) f32 — the sorted payload columns emitted by
+ops/pipeline.py's `_expand_sort`, zero-padded to 16 rows (Mosaic HBM DMA
+slices require 8-aligned sublane counts):
+  rows 0..5   x, y (global screen mean), a, b, c (conic), log(opacity)
+  rows 6..9   composited channels [r, g, b, depth]; rows 10..15 zero pad
 
 Output layout: (num_tiles, 8, 8, 128) f32 — channels [r, g, b, depth, alpha,
 0, 0, 0] over the flattened 1024-pixel tile (pixel p = py*32+px ↦ (p//128,
@@ -52,11 +53,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .binning import CHUNK, TILE
+from .binning import CHUNK, TILE, num_tiles
 
 C_PAD = 8            # padded channel count in the output
-FEAT = 16            # feature rows
-MAX_BWD_CHUNKS = 512  # transmittance checkpoint depth in backward (64k isects/tile)
+FEAT = 16            # feature rows (10 payload + 6 zero pad)
 STOP_T = 1e-4        # early-termination transmittance threshold
 ALPHA_THRESH = 1.0 / 255.0
 MAX_ALPHA = 0.999
@@ -92,14 +92,39 @@ def _dot(a, b, contract=((1,), (0,))):
     )
 
 
-def _chunk_alphas(chunkf, basis):
-    """Shared alpha math. chunkf: (FEAT, CHUNK). Returns (alpha, log1m)."""
-    coef_t = chunkf[0:8, :]                                # (8, CHUNK)
-    # sigma[k, p] = Σ_r coef_t[r, k] * basis[r, p]
-    sigma = _dot(coef_t, basis, contract=((0,), (0,)))     # (CHUNK, PIX)
+def _chunk_terms(chunkf, ox, oy, start, end, cj, basis):
+    """Shared per-chunk math from raw feature rows.
+
+    chunkf: (FEAT, CHUNK) raw rows. Returns (alpha, l1m, colors, mx, my)
+    with entries outside [start, end) masked to alpha = 0."""
+    mx = chunkf[0:1, :] - ox
+    my = chunkf[1:2, :] - oy
+    a = chunkf[2:3, :]
+    b = chunkf[3:4, :]
+    c = chunkf[4:5, :]
+    lo = chunkf[5:6, :]
+    zero2 = jnp.zeros((2, CHUNK), jnp.float32)
+    coef = jnp.concatenate([
+        0.5 * a, 0.5 * c, b,
+        -(a * mx + b * my), -(c * my + b * mx),
+        0.5 * a * mx * mx + 0.5 * c * my * my + b * mx * my - lo,
+        zero2,
+    ], axis=0)                                             # (8, CHUNK)
+    sigma = _dot(coef, basis, contract=((0,), (0,)))       # (CHUNK, PIX)
     alpha = jnp.minimum(jnp.exp(-sigma), MAX_ALPHA)
     alpha = jnp.where(alpha >= ALPHA_THRESH, alpha, 0.0)
-    return alpha, jnp.log1p(-alpha)
+    gidx = cj * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+    inm = (gidx >= start) & (gidx < end)
+    alpha = jnp.where(inm, alpha, 0.0)
+    colors = jnp.concatenate([
+        chunkf[6:10, :], jnp.ones((1, CHUNK), jnp.float32),
+        jnp.zeros((3, CHUNK), jnp.float32)], axis=0)       # (8, CHUNK)
+    return alpha, jnp.log1p(-alpha), colors, mx, my
+
+
+def _owned(cj, start, end):
+    """Chunk cj lies fully inside [start, end) — owned by exactly one tile."""
+    return (cj * CHUNK >= start) & ((cj + 1) * CHUNK <= end)
 
 
 # ---------------------------------------------------------------------------
@@ -107,262 +132,360 @@ def _chunk_alphas(chunkf, basis):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(starts_ref, chunks_ref, feats_hbm, out_ref,
-                acc, tc, buf, sem):
-    t = pl.program_id(0)
-    start = starts_ref[t]
-    nchunks = chunks_ref[t]
+def _make_fwd_kernel(ntx: int):
+    def _fwd_kernel(starts_ref, cnts_ref, feats_hbm,
+                    out_ref, tcg_hbm, tcs_ref, nlive_ref,
+                    acc, tc, buf, tcw, sem, semw):
+        t = pl.program_id(0)
+        start = starts_ref[t]
+        cnt = cnts_ref[t]
+        end = start + cnt
+        fc = start // CHUNK
+        nch = jnp.where(cnt > 0, (end + CHUNK - 1) // CHUNK - fc, 0)
+        ox = jnp.float32(jax.lax.rem(t, ntx) * TILE)
+        oy = jnp.float32((t // ntx) * TILE)
 
-    acc[...] = jnp.zeros_like(acc)
-    tc[...] = jnp.ones_like(tc)
+        acc[...] = jnp.zeros_like(acc)
+        tc[...] = jnp.ones_like(tc)
 
-    basis = _pixel_basis()
-    ltri = _tri(strict_lower=True)
+        basis = _pixel_basis()
+        ltri = _tri(strict_lower=True)
 
-    def dma(slot, c):
-        return pltpu.make_async_copy(
-            feats_hbm.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK),
-                                  CHUNK)],
-            buf.at[slot], sem.at[slot],
-        )
+        def dma(slot, c):
+            return pltpu.make_async_copy(
+                feats_hbm.at[:, pl.ds(pl.multiple_of((fc + c) * CHUNK, CHUNK),
+                                      CHUNK)],
+                buf.at[slot], sem.at[slot],
+            )
 
-    @pl.when(nchunks > 0)
-    def _():
-        dma(0, 0).start()
+        def dma_tc(slot, cj):
+            return pltpu.make_async_copy(
+                tcw.at[slot], tcg_hbm.at[cj], semw.at[slot])
 
-    def cond(state):
-        c, alive = state
-        return (c < nchunks) & alive
-
-    def body(state):
-        c, _ = state
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c + 1 < nchunks)
+        @pl.when(nch > 0)
         def _():
-            dma(1 - slot, c + 1).start()
+            dma(0, 0).start()
 
-        dma(slot, c).wait()
+        def cond(state):
+            c, alive = state
+            return (c < nch) & alive
 
-        chunkf = buf[slot]                              # (FEAT, CHUNK)
-        alpha, l1m = _chunk_alphas(chunkf, basis)
-        s_excl = _dot(ltri, l1m)                        # (CHUNK, PIX)
-        trans = jnp.exp(s_excl) * tc[...]               # bcast (1, PIX)
-        w = alpha * trans
-        colors_t = chunkf[8:16, :]                      # (8, CHUNK)
-        # rows [8..16) = [r, g, b, depth, 1, 0, 0, 0]:
-        # acc[ch, p] += Σ_k colors_t[ch, k] * w[k, p]
-        acc[...] += _dot(colors_t, w)
-        tc[...] *= jnp.exp(s_excl[CHUNK - 1:CHUNK, :] + l1m[CHUNK - 1:CHUNK, :])
+        def body(state):
+            c, _ = state
+            slot = jax.lax.rem(c, 2)
 
-        return c + 1, jnp.max(tc[...]) > STOP_T
+            @pl.when(c + 1 < nch)
+            def _():
+                dma(1 - slot, c + 1).start()
 
-    # true early termination: stop iterating (and issuing DMAs) once the
-    # whole tile is saturated; one conditional wait drains the orphan
-    # prefetch issued just before exit
-    c_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), True))
+            dma(slot, c).wait()
+            cj = fc + c
+            own = _owned(cj, start, end)
 
-    @pl.when(c_final < nchunks)
-    def _():
-        dma(jax.lax.rem(c_final, 2), c_final).wait()
+            # checkpoint this chunk's entry transmittance: owned chunks to
+            # the global per-chunk store, shared boundary chunks to the
+            # per-tile side slots (slot 0 = first chunk, 1 = later)
+            @pl.when((c >= 2) & _owned(fc + c - 2, start, end))
+            def _():
+                dma_tc(slot, fc + c - 2).wait()
 
-    # acc rows are [r, g, b, depth, Σw, 0, 0, 0]; replace the summed-w alpha
-    # channel with the analytically identical but exactly-bounded 1 - T_final
-    # (f32 summation lets Σw drift past 1 by ~1e-4).
-    acc[4:5, :] = 1.0 - tc[...]
-    out_ref[0] = acc[...].reshape(C_PAD, _PIX // 128, 128)
+            tcw[slot] = tc[...].reshape(C_PAD, CHUNK)
+
+            @pl.when(own)
+            def _():
+                dma_tc(slot, cj).start()
+
+            @pl.when(jnp.logical_not(own) & (c == 0))
+            def _():
+                tcs_ref[0, 0] = tc[...].reshape(C_PAD, CHUNK)
+
+            @pl.when(jnp.logical_not(own) & (c > 0))
+            def _():
+                tcs_ref[0, 1] = tc[...].reshape(C_PAD, CHUNK)
+
+            alpha, l1m, colors, _, _ = _chunk_terms(
+                buf[slot], ox, oy, start, end, cj, basis)
+            s_excl = _dot(ltri, l1m)                        # (CHUNK, PIX)
+            trans = jnp.exp(s_excl) * tc[...]               # bcast (1, PIX)
+            w = alpha * trans
+            acc[...] += _dot(colors, w)
+            tc[...] *= jnp.exp(s_excl[CHUNK - 1:CHUNK, :]
+                               + l1m[CHUNK - 1:CHUNK, :])
+
+            return c + 1, jnp.max(tc[...]) > STOP_T
+
+        c_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), True))
+        nlive_ref[t] = c_final
+
+        # drain the orphan prefetch issued just before an early exit and the
+        # outstanding transmittance writes
+        @pl.when(c_final < nch)
+        def _():
+            dma(jax.lax.rem(c_final, 2), c_final).wait()
+
+        @pl.when((c_final >= 2) & _owned(fc + c_final - 2, start, end))
+        def _():
+            dma_tc(jax.lax.rem(c_final, 2), fc + c_final - 2).wait()
+
+        @pl.when((c_final >= 1) & _owned(fc + c_final - 1, start, end))
+        def _():
+            dma_tc(jax.lax.rem(c_final - 1, 2), fc + c_final - 1).wait()
+
+        # acc rows are [r, g, b, depth, Σw, 0, 0, 0]; replace the summed-w
+        # alpha channel with the analytically identical but exactly-bounded
+        # 1 - T_final (f32 summation lets Σw drift past 1 by ~1e-4).
+        acc[4:5, :] = 1.0 - tc[...]
+        out_ref[0] = acc[...].reshape(C_PAD, _PIX // CHUNK, CHUNK)
+
+    return _fwd_kernel
 
 
-def rasterize_fwd(feats, tile_starts, tile_chunks, n_tiles, *, interpret=False):
-    """feats: (FEAT, M_aligned) f32. Returns (n_tiles, 8, 8, 128)."""
+def rasterize_fwd(feats, tile_starts, tile_counts, width, height, *,
+                  interpret=False):
+    """feats: (FEAT, cap) f32 sorted rows. Returns (img (nT, 8, 8, 128),
+    tc_ckpt (cap/128, 1024), tc_side (nT, 2, 8, 128), n_live (nT, 1))."""
+    ntx, nty = num_tiles(width, height)
+    n_tiles = ntx * nty
+    cap = feats.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec(
-            (1, C_PAD, _PIX // 128, 128), lambda t, *_: (t, 0, 0, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            pl.BlockSpec((1, C_PAD, _PIX // CHUNK, CHUNK),
+                         lambda t, *_: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, 2, C_PAD, CHUNK), lambda t, *_: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((C_PAD, _PIX), jnp.float32),   # acc
             pltpu.VMEM((1, _PIX), jnp.float32),       # transmittance carry
             pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
+            pltpu.VMEM((2, C_PAD, CHUNK), jnp.float32),  # tc write buffers
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        _fwd_kernel,
+        _make_fwd_kernel(ntx),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, C_PAD, _PIX // 128, 128),
-                                       jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, C_PAD, _PIX // CHUNK, CHUNK),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((cap // CHUNK, C_PAD, CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 2, C_PAD, CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles,), jnp.int32),
+        ),
         interpret=interpret,
-    )(tile_starts, tile_chunks, feats)
+    )(tile_starts, tile_counts, feats)
 
 
 # ---------------------------------------------------------------------------
-# backward
+# backward (single reverse sweep off the forward's transmittance checkpoints)
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(starts_ref, chunks_ref, feats_hbm, gout_ref, dfeats_init_hbm,
-                dfeats_hbm, tc_store, carry, buf, dbuf, sem, wsem):
-    del dfeats_init_hbm   # aliased to dfeats_hbm (pre-zeroed by the caller)
-    t = pl.program_id(0)
-    start = starts_ref[t]
-    nchunks = jnp.minimum(chunks_ref[t], MAX_BWD_CHUNKS)
+def _make_bwd_kernel(ntx: int):
+    def _bwd_kernel(starts_ref, cnts_ref, nlive_ref,
+                    feats_hbm, gout_ref, tcg_hbm, tcs_ref, dfeats_init_hbm,
+                    dfeats_hbm, dside_ref,
+                    carry, buf, tct, dbuf, sem, semt, wsem):
+        del dfeats_init_hbm   # aliased to dfeats_hbm (pre-zeroed by caller)
+        t = pl.program_id(0)
+        start = starts_ref[t]
+        cnt = cnts_ref[t]
+        nl = nlive_ref[t]
+        end = start + cnt
+        fc = start // CHUNK
+        ox = jnp.float32(jax.lax.rem(t, ntx) * TILE)
+        oy = jnp.float32((t // ntx) * TILE)
 
-    basis = _pixel_basis()
-    ltri = _tri(strict_lower=True)
-    utri = _tri(strict_lower=False)
-    # cotangent rows pair with feature rows 8..16: [r, g, b, depth, alpha(=the
-    # constant-1 channel), 0, 0, 0]
-    g8 = gout_ref[0].reshape(C_PAD, _PIX)
+        basis = _pixel_basis()
+        ltri = _tri(strict_lower=True)
+        utri = _tri(strict_lower=False)
+        # cotangent rows pair with output channels [r, g, b, depth, alpha]
+        g8 = gout_ref[0].reshape(C_PAD, _PIX)
 
-    def dma_in(slot, c):
-        return pltpu.make_async_copy(
-            feats_hbm.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK),
-                                  CHUNK)],
-            buf.at[slot], sem.at[slot],
-        )
+        dside_ref[...] = jnp.zeros_like(dside_ref)
+        carry[...] = jnp.zeros_like(carry)   # R = Σ_later w·G
 
-    def dma_out(slot, c):
-        return pltpu.make_async_copy(
-            dbuf.at[slot],
-            dfeats_hbm.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK),
-                                   CHUNK)],
-            wsem.at[slot],
-        )
+        def dma_in(slot, c):
+            return pltpu.make_async_copy(
+                feats_hbm.at[:, pl.ds(pl.multiple_of((fc + c) * CHUNK, CHUNK),
+                                      CHUNK)],
+                buf.at[slot], sem.at[slot],
+            )
 
-    # ---- pass 1: forward sweep, checkpoint per-chunk entry transmittance ----
-    carry[...] = jnp.ones_like(carry)
+        def dma_tc(slot, c):
+            return pltpu.make_async_copy(
+                tcg_hbm.at[fc + c], tct.at[slot], semt.at[slot])
 
-    @pl.when(nchunks > 0)
-    def _():
-        dma_in(0, 0).start()
+        def dma_out(slot, c):
+            return pltpu.make_async_copy(
+                dbuf.at[slot],
+                dfeats_hbm.at[:, pl.ds(pl.multiple_of((fc + c) * CHUNK,
+                                                      CHUNK), CHUNK)],
+                wsem.at[slot],
+            )
 
-    def cond1(state):
-        c, alive = state
-        return (c < nchunks) & alive
-
-    def body1(state):
-        c, _ = state
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c + 1 < nchunks)
+        @pl.when(nl > 0)
         def _():
-            dma_in(1 - slot, c + 1).start()
+            dma_in(0, nl - 1).start()
+            dma_tc(0, nl - 1).start()
 
-        dma_in(slot, c).wait()
-        tc_store[pl.ds(c, 1), :] = carry[...]
+        def body(ci, _):
+            c = nl - 1 - ci
+            slot = jax.lax.rem(ci, 2)
 
-        _, l1m = _chunk_alphas(buf[slot], basis)
-        total = _dot(jnp.ones((1, CHUNK), jnp.float32), l1m)
-        carry[...] *= jnp.exp(total)
-        return c + 1, jnp.max(carry[...]) > STOP_T
+            @pl.when(ci + 1 < nl)
+            def _():
+                dma_in(1 - slot, c - 1).start()
+                dma_tc(1 - slot, c - 1).start()
 
-    # n_live = chunks actually composited before saturation; chunks beyond it
-    # contribute nothing and keep the caller's pre-zeroed gradients
-    n_live, _ = jax.lax.while_loop(cond1, body1, (jnp.int32(0), True))
+            dma_in(slot, c).wait()
+            dma_tc(slot, c).wait()
+            cj = fc + c
+            own = _owned(cj, start, end)
 
-    @pl.when(n_live < nchunks)
-    def _():
-        dma_in(jax.lax.rem(n_live, 2), n_live).wait()
+            # wait for the gradient write issued two iterations ago on this
+            # slot (only if one was started: that chunk was owned)
+            @pl.when((ci >= 2) & _owned(fc + (nl - 1 - (ci - 2)), start, end))
+            def _():
+                dma_out(slot, nl - 1 - (ci - 2)).wait()
 
-    # ---- pass 2: reverse sweep with downstream-contribution carry R ----
-    carry[...] = jnp.zeros_like(carry)   # reused as R = Σ_later w·G
+            # entry transmittance: owned chunks from the global checkpoint,
+            # shared boundary chunks from this tile's side slots
+            tc_side = jnp.where(
+                c == 0, tcs_ref[0, 0], tcs_ref[0, 1]).reshape(1, _PIX)
+            tc_in = jnp.where(own, tct[slot].reshape(1, _PIX), tc_side)
 
-    @pl.when(n_live > 0)
-    def _():
-        dma_in(0, n_live - 1).start()
+            chunkf = buf[slot]
+            alpha, l1m, colors, mx, my = _chunk_terms(
+                chunkf, ox, oy, start, end, cj, basis)
+            s_excl = _dot(ltri, l1m)
+            trans = jnp.exp(s_excl) * tc_in
+            w = alpha * trans
 
-    def bwd_body(ci, _):
-        c = n_live - 1 - ci
-        slot = jax.lax.rem(ci, 2)
+            # G[k, p] = Σ_ch colors[ch, k] * g8[ch, p]
+            G = _dot(colors, g8, contract=((0,), (0,)))    # (CHUNK, PIX)
+            wG = w * G
+            suffix = _dot(utri, wG) + carry[...]
+            one_m = jnp.maximum(1.0 - alpha, 1.0 - MAX_ALPHA)
+            d_alpha = trans * G - suffix / one_m
+            gate = (alpha > 0.0) & (alpha < MAX_ALPHA)
+            d_alpha = jnp.where(gate, d_alpha, 0.0)
 
-        @pl.when(ci + 1 < n_live)
+            # α = exp(-σ′) ⇒ dσ′ = -α·dα; chain through the in-kernel
+            # coefficient construction back to the raw feature rows
+            d_sigma = -(alpha * d_alpha)
+            dcf = _dot(basis, d_sigma, contract=((1,), (1,)))  # (8, CHUNK)
+            a = chunkf[2:3, :]
+            b = chunkf[3:4, :]
+            cq = chunkf[4:5, :]
+            dc0, dc1, dc2 = dcf[0:1], dcf[1:2], dcf[2:3]
+            dc3, dc4, dc5 = dcf[3:4], dcf[4:5], dcf[5:6]
+            da = 0.5 * dc0 - mx * dc3 + 0.5 * mx * mx * dc5
+            db = dc2 - my * dc3 - mx * dc4 + mx * my * dc5
+            dcq = 0.5 * dc1 - my * dc4 + 0.5 * my * my * dc5
+            dmx = -a * dc3 - b * dc4 + (a * mx + b * my) * dc5
+            dmy = -b * dc3 - cq * dc4 + (cq * my + b * mx) * dc5
+            dlo = -dc5
+            # d_colors[ch, k] = Σ_p g8[ch, p] * w[k, p]
+            d_colors = _dot(g8, w, contract=((1,), (1,)))  # (8, CHUNK)
+            dchunk = jnp.concatenate([
+                dmx, dmy, da, db, dcq, dlo, d_colors[0:4, :],
+                jnp.zeros((6, CHUNK), jnp.float32),
+            ], axis=0)                                     # (FEAT, CHUNK)
+
+            @pl.when(own)
+            def _():
+                dbuf[slot] = dchunk
+                dma_out(slot, c).start()
+
+            @pl.when(jnp.logical_not(own) & (c == 0))
+            def _():
+                dside_ref[0, 0] = dchunk
+
+            @pl.when(jnp.logical_not(own) & (c > 0))
+            def _():
+                dside_ref[0, 1] = dchunk
+
+            carry[...] += _dot(jnp.ones((1, CHUNK), jnp.float32), wG)
+            return 0
+
+        jax.lax.fori_loop(0, nl, body, 0)
+
+        # drain outstanding gradient writes (ci = nl-2 and nl-1)
+        @pl.when((nl >= 2) & _owned(fc + 1, start, end))
         def _():
-            dma_in(1 - slot, c - 1).start()
+            dma_out(jax.lax.rem(nl - 2, 2), 1).wait()
 
-        dma_in(slot, c).wait()
-        # wait for the write issued two iterations ago on this slot
-        @pl.when(ci >= 2)
+        @pl.when((nl >= 1) & _owned(fc, start, end))
         def _():
-            dma_out(slot, c + 2).wait()
+            dma_out(jax.lax.rem(nl - 1, 2), 0).wait()
 
-        tc_in = tc_store[pl.ds(c, 1), :]
-        chunkf = buf[slot]
-        alpha, l1m = _chunk_alphas(chunkf, basis)
-        s_excl = _dot(ltri, l1m)
-        trans = jnp.exp(s_excl) * tc_in
-        w = alpha * trans
-
-        colors_t = chunkf[8:16, :]                       # (8, CHUNK)
-        # G[k, p] = Σ_ch colors_t[ch, k] * g8[ch, p]
-        G = _dot(colors_t, g8, contract=((0,), (0,)))    # (CHUNK, PIX)
-        wG = w * G
-        suffix = _dot(utri, wG) + carry[...]
-        # gradient of loss wrt alpha_k (pre-gating)
-        one_m = jnp.maximum(1.0 - alpha, 1.0 - MAX_ALPHA)
-        d_alpha = trans * G - suffix / one_m
-        # gate: no gradient where alpha clamped at MAX_ALPHA or zeroed
-        gate = (alpha > 0.0) & (alpha < MAX_ALPHA)
-        d_alpha = jnp.where(gate, d_alpha, 0.0)
-
-        # α = exp(-σ′) ⇒ dσ′ = -α·dα; gradient wrt transposed coefs:
-        # d_coef_t[r, k] = Σ_p basis[r, p] * d_sigma[k, p]
-        d_sigma = -(alpha * d_alpha)
-        d_coef_t = _dot(basis, d_sigma, contract=((1,), (1,)))
-        # d_colors_t[ch, k] = Σ_p g8[ch, p] * w[k, p]
-        d_colors_t = _dot(g8, w, contract=((1,), (1,)))
-
-        dbuf[slot] = jnp.concatenate([d_coef_t, d_colors_t], axis=0)
-        dma_out(slot, c).start()
-
-        carry[...] += _dot(jnp.ones((1, CHUNK), jnp.float32), wG)
-        return 0
-
-    jax.lax.fori_loop(0, n_live, bwd_body, 0)
-
-    # drain outstanding writes
-    @pl.when(n_live >= 2)
-    def _():
-        dma_out(jax.lax.rem(n_live - 2, 2), 1).wait()
-
-    @pl.when(n_live >= 1)
-    def _():
-        dma_out(jax.lax.rem(n_live - 1, 2), 0).wait()
+    return _bwd_kernel
 
 
-def rasterize_bwd(feats, tile_starts, tile_chunks, gout, n_tiles, *,
-                  interpret=False):
-    """Returns d_feats with the same (FEAT, M_aligned) shape as feats. The
-    buffer is pre-zeroed and aliased through the kernel, so early-terminated
-    and uncovered slots carry exact zero gradients (they correspond to
-    contributions the forward treated as zero)."""
+def rasterize_bwd(feats, tile_starts, tile_counts, n_live, tc_ckpt, tc_side,
+                  gout, width, height, *, interpret=False):
+    """Single-sweep backward. Returns d_feats (FEAT, cap): per-intersection
+    gradients in the sorted layout (pre-zeroed slots stay exactly zero for
+    early-terminated / uncovered entries)."""
+    ntx, nty = num_tiles(width, height)
+    n_tiles = ntx * nty
+    cap = feats.shape[1]
     dfeats_init = jnp.zeros(feats.shape, jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, C_PAD, _PIX // 128, 128), lambda t, *_: (t, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),       # feats
+            pl.BlockSpec((1, C_PAD, _PIX // CHUNK, CHUNK),
+                         lambda t, *_: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),      # gout
+            pl.BlockSpec(memory_space=pltpu.HBM),       # tc_ckpt
+            pl.BlockSpec((1, 2, C_PAD, CHUNK), lambda t, *_: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),      # tc_side
+            pl.BlockSpec(memory_space=pltpu.HBM),       # dfeats_init
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.HBM),       # dfeats
+            pl.BlockSpec((1, 2, FEAT, CHUNK), lambda t, *_: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),      # dside
+        ),
         scratch_shapes=[
-            pltpu.VMEM((MAX_BWD_CHUNKS, _PIX), jnp.float32),  # tc checkpoints
-            pltpu.VMEM((1, _PIX), jnp.float32),               # carry (Tc / R)
-            pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),        # read buffers
-            pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),        # write buffers
+            pltpu.VMEM((1, _PIX), jnp.float32),         # carry R
+            pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),  # feats read buffers
+            pltpu.VMEM((2, C_PAD, CHUNK), jnp.float32),  # tc read buffers
+            pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),  # grad write buffers
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
-        _bwd_kernel,
+    dfeats, dside = pl.pallas_call(
+        _make_bwd_kernel(ntx),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(feats.shape, jnp.float32),
-        input_output_aliases={4: 0},
+        out_shape=(
+            jax.ShapeDtypeStruct(feats.shape, jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 2, FEAT, CHUNK), jnp.float32),
+        ),
+        input_output_aliases={7: 0},
         interpret=interpret,
-    )(tile_starts, tile_chunks, feats, gout, dfeats_init)
+    )(tile_starts, tile_counts, n_live.reshape(-1), feats, gout, tc_ckpt,
+      tc_side, dfeats_init)
+
+    # merge shared boundary-chunk gradients: slot 0 at each tile's first
+    # chunk, slot 1 at its last (zeros where unused; duplicate indices sum)
+    capc = cap // CHUNK
+    ends = tile_starts + tile_counts
+    fc = jnp.clip(tile_starts // CHUNK, 0, capc - 1)
+    lc = jnp.clip((ends + CHUNK - 1) // CHUNK - 1, 0, capc - 1)
+    d3 = dfeats.reshape(FEAT, capc, CHUNK)
+    d3 = d3.at[:, fc, :].add(dside[:, 0].transpose(1, 0, 2))
+    d3 = d3.at[:, lc, :].add(dside[:, 1].transpose(1, 0, 2))
+    return d3.reshape(FEAT, cap)

@@ -19,17 +19,20 @@ import jax.numpy as jnp
 
 
 def timeit(fn, *args, iters=10, vary=None):
-    """Median wall time of jitted fn; vary(args, i) perturbs inputs."""
-    out = jax.block_until_ready(fn(*args))
-    ts = []
-    for i in range(1, iters + 1):
-        a = vary(args, i) if vary is not None else args
-        t0 = time.perf_counter()
-        out = fn(*a)
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2]
+    """Mean wall time of jitted fn over pipelined dispatches.
+
+    The axon tunnel costs ~21 ms per *synchronous* round trip but ~0 per
+    pipelined dispatch, so all iterations are issued back-to-back and blocked
+    on once. Inputs are pre-materialized perturbed copies (identical
+    executions are served from the tunnel cache and would time as 0)."""
+    jax.block_until_ready(fn(*args))
+    arglist = [vary(args, i) if vary is not None else args
+               for i in range(1, iters + 1)]
+    arglist = jax.block_until_ready(arglist)
+    t0 = time.perf_counter()
+    outs = [fn(*a) for a in arglist]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
