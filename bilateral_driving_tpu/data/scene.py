@@ -604,14 +604,24 @@ def get_init_objects(data: SceneData, node_type: str, max_pts: int = 5000,
 
 def get_init_background(data: SceneData, num_samples: int = 800_000,
                         num_near: int = 100_000, num_far: int = 100_000,
-                        seed: int = 0):
+                        seed: int = 0, return_times: bool = False):
     """Lidar samples outside instance boxes + near/far random sphere points
-    (driving_dataset.py:496-574 + omnire_ms_bilateral.yaml:75-80)."""
+    (driving_dataset.py:496-574 + omnire_ms_bilateral.yaml:75-80).
+
+    With return_times, also returns each point's normalized observation time
+    (the source frame's time for lidar points, 0 for sphere points — the PVG
+    taus init, reference single.py:88-118)."""
     rng = np.random.RandomState(seed)
-    all_pts = np.concatenate([p for p in data.lidar_points
-                              if p.shape[0]]) if any(
-        p.shape[0] for p in data.lidar_points) else np.zeros((0, 3),
-                                                             np.float32)
+    frames_with_pts = [(f, p) for f, p in enumerate(data.lidar_points)
+                       if p.shape[0]]
+    if frames_with_pts:
+        all_pts = np.concatenate([p for _, p in frames_with_pts])
+        all_t = np.concatenate([
+            np.full(p.shape[0], data.normalized_time(f), np.float32)
+            for f, p in frames_with_pts])
+    else:
+        all_pts = np.zeros((0, 3), np.float32)
+        all_t = np.zeros((0,), np.float32)
     if all_pts.shape[0]:
         if data.instances is not None:
             keep = np.ones(all_pts.shape[0], bool)
@@ -625,15 +635,20 @@ def get_init_background(data: SceneData, num_samples: int = 800_000,
                     w2o = np.linalg.inv(inst.poses[f, i])
                     local = all_pts @ w2o[:3, :3].T + w2o[:3, 3]
                     keep &= ~(np.abs(local) < inst.sizes[i] / 2.0).all(-1)
-            all_pts = all_pts[keep]
+            all_pts, all_t = all_pts[keep], all_t[keep]
         if all_pts.shape[0] > num_samples:
-            all_pts = all_pts[rng.choice(all_pts.shape[0], num_samples,
-                                         replace=False)]
+            sel = rng.choice(all_pts.shape[0], num_samples, replace=False)
+            all_pts, all_t = all_pts[sel], all_t[sel]
     center = data.cam_to_worlds[:, :3, 3].mean(0)
     radius = data.scene_radius()
     near = center + _sphere(rng, num_near, radius * 0.8, radius * 2.0)
     far = center + _sphere(rng, num_far, radius * 2.0, radius * 10.0)
-    return np.concatenate([all_pts, near, far]).astype(np.float32)
+    pts = np.concatenate([all_pts, near, far]).astype(np.float32)
+    if not return_times:
+        return pts
+    times = np.concatenate(
+        [all_t, np.zeros(near.shape[0] + far.shape[0], np.float32)])
+    return pts, times
 
 
 def _sphere(rng, n, rmin, rmax):

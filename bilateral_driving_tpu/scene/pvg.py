@@ -19,19 +19,26 @@ from . import nodes
 
 
 class PVGConfig(NamedTuple):
+    """Times (t, taus, cycle, betas) all live on the reference's *scaled*
+    time axis: consecutive frames are `time_interval` (0.02) apart
+    (pvg.py:46-47 train_time_scale), NOT normalized [0,1] — cycle_length 0.2
+    and betas_init 0.1 are tuned for that spacing. Callers scale normalized
+    times by time_interval * (num_frames - 1) at the boundary."""
     sh_degree: int = 3
     sh_degree_interval: int = 1000
-    cycle: float = 0.2           # T, the vibration period (train_time scale)
+    cycle: float = 0.2           # T, the vibration period (scaled time)
     marginal_thresh: float = 0.05
 
 
 def init_extras(key, capacity: int, num_points: int, t_init: jax.Array | None,
-                beta_init: float = 0.1):
+                beta_init: float = 0.1, time_scale: float = 1.0):
     """taus from per-point observation time (or 0), betas log-init, zero
-    velocity (pvg create_from_pcd)."""
+    velocity (pvg create_from_pcd). t_init is normalized [0,1]; stored taus
+    are scaled by `time_scale` (reference pvg.py:53 init_times *
+    train_time_scale)."""
     taus = jnp.zeros((capacity,))
     if t_init is not None:
-        taus = taus.at[:num_points].set(t_init)
+        taus = taus.at[:num_points].set(t_init * time_scale)
     return {
         "taus": taus,
         "log_betas": jnp.full((capacity,), jnp.log(beta_init)),
@@ -75,5 +82,8 @@ def velocity_reg_loss(params, mask, cur_radii, w: float, cfg: PVGConfig):
     """Per-point velocity regularization on visible points (pvg.py:429-437)."""
     vis = (cur_radii > 0) & (mask > 0)
     nvis = jnp.maximum(jnp.sum(vis), 1.0)
-    vnorm = jnp.linalg.norm(effective_velocity(params, cfg), axis=-1)
+    # safe L2 norm: velocity inits to exactly 0 and d||v||/dv is NaN there
+    # (torch.norm subgradients to 0 at the origin; jnp.linalg.norm does not)
+    v = effective_velocity(params, cfg)
+    vnorm = jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-12)
     return jnp.sum(vnorm * vis) / nvis * w

@@ -101,6 +101,62 @@ def out_of_bound_mask(params, statics):
     return jnp.any(jnp.abs(params["means"]) > sizes / 2.0, axis=-1)
 
 
+# --------------------------------------------------------------------------
+# offline instance-editing API (reference rigid.py:574-607). Host-side ops on
+# the static-capacity arrays: removal zeroes the alive mask; replacement
+# copies the donor instance's gaussians into the removed instance's dead
+# slots, retagged so they follow the *target's* pose track (the reference
+# keeps the original ins_id on appended points for the same reason).
+# --------------------------------------------------------------------------
+
+
+def remove_instances(statics, mask, remove_ids):
+    """Kill every gaussian belonging to the listed instance ids.
+
+    Returns the updated alive mask (same dtype/shape; capacity unchanged)."""
+    import numpy as np
+    pid = np.asarray(statics["point_ids"])
+    keep = ~np.isin(pid, np.asarray(list(remove_ids)))
+    return jnp.asarray(np.asarray(mask) * keep.astype(np.asarray(mask).dtype))
+
+
+def replace_instances(params, statics, mask, replace: dict):
+    """replace = {target_id: donor_id}: swap each target instance's geometry
+    for a copy of the donor's, keeping the target's pose track
+    (rigid.py:607 keeps the original point ids on the appended copy).
+
+    Returns (params, statics, mask) with donor rows written into the freed
+    slots. Raises if an instance's donor has more points than fit in the
+    freed + dead capacity."""
+    import numpy as np
+    pid = np.asarray(statics["point_ids"]).copy()
+    alive = np.asarray(mask).astype(bool).copy()
+    rows = {k: np.asarray(v).copy() for k, v in params.items()
+            if k not in ("instances_quats", "instances_trans")}
+    for target, donor in replace.items():
+        src = alive & (pid == donor)
+        alive[alive & (pid == target)] = False
+        free = np.flatnonzero(~alive)
+        n_src = int(src.sum())
+        if n_src > free.size:
+            raise ValueError(
+                f"replace_instances: donor {donor} has {n_src} points but "
+                f"only {free.size} free slots remain")
+        dst = free[:n_src]
+        src_idx = np.flatnonzero(src)
+        for k, v in rows.items():
+            v[dst] = v[src_idx]
+        pid[dst] = target
+        alive[dst] = True
+    new_params = dict(params)
+    for k, v in rows.items():
+        new_params[k] = jnp.asarray(v)
+    new_statics = dict(statics)
+    new_statics["point_ids"] = jnp.asarray(pid)
+    return new_params, new_statics, jnp.asarray(
+        alive.astype(np.asarray(mask).dtype))
+
+
 def temporal_smoothness_loss(params, statics, w_trans: float, w_quat: float):
     """Consecutive-frame pose smoothness (rigid.py:529-548), masked to frames
     where the instance is observed in both."""

@@ -66,6 +66,14 @@ def trainer_config_from(cfg: ConfigDict, num_images: int,
         depth_reduction=losses.get("depth_reduction", "mean_on_hit"),
         mask_loss_type=losses.get("mask_loss_type", "safe_bce"),
         max_depth=losses.get("max_depth", 80.0),
+        pvg_cycle=cfg.get("pvg", {}).get("cycle_length", 0.2),
+        pvg_time_interval=cfg.get("pvg", {}).get("time_interval", 0.02),
+        pvg_temporal_smoothing=cfg.get("pvg", {}).get(
+            "enable_temporal_smoothing", False),
+        pvg_smooth_probability=cfg.get("pvg", {}).get(
+            "smooth_probability", 0.5),
+        pvg_distribution_span=cfg.get("pvg", {}).get(
+            "distribution_span", 1.5),
         w_rigid_temporal=losses.get("rigid_temporal", 0.0),
         w_smpl_joint_smooth=losses.get("smpl_joint_smooth", 0.0),
         density=den,
@@ -93,11 +101,11 @@ def _background_from_scene(key, cfg, data: scene_mod.SceneData, tcfg):
     """Build the Background class for any background_model
     (vanilla | pvg | deformgs). Returns (params, mask, statics)."""
     init = cfg.get("background_init", {})
-    pts = scene_mod.get_init_background(
+    pts, pt_times = scene_mod.get_init_background(
         data,
         num_samples=init.get("num_lidar_samples", 400_000),
         num_near=init.get("num_near_pts", 50_000),
-        num_far=init.get("num_far_pts", 50_000))
+        num_far=init.get("num_far_pts", 50_000), return_times=True)
     colors = scene_mod.lidar_colors_for_points(data, pts)
     capacity = int(init.get("capacity", max(2 ** 19, 2 * pts.shape[0])))
     capacity = max(capacity, pts.shape[0])
@@ -105,7 +113,10 @@ def _background_from_scene(key, cfg, data: scene_mod.SceneData, tcfg):
     colors = jnp.asarray(colors)
     if tcfg.background_model == "pvg":
         params, mask = setup.build_pvg_background(
-            key, capacity, pts, colors, sh_degree=tcfg.sh_degree)
+            key, capacity, pts, colors,
+            t_init=jnp.asarray(pt_times), sh_degree=tcfg.sh_degree,
+            beta_init=cfg.get("pvg", {}).get("betas_init", 0.1),
+            time_scale=tcfg.pvg_time_interval * max(tcfg.num_frames - 1, 1))
         return params, mask, {}
     if tcfg.background_model == "deformgs":
         aabb = data.aabb()
@@ -251,7 +262,8 @@ def build_synthetic_scene(key, cfg: ConfigDict, interpret=False):
     if tcfg.background_model == "pvg":
         bg, masks["Background"] = setup.build_pvg_background(
             key, bg_cap, scene.bg_means, scene.bg_colors,
-            sh_degree=tcfg.sh_degree)
+            sh_degree=tcfg.sh_degree,
+            time_scale=tcfg.pvg_time_interval * max(tcfg.num_frames - 1, 1))
         statics["Background"] = {}
     elif tcfg.background_model == "deformgs":
         bg, statics["Background"], masks["Background"] = \

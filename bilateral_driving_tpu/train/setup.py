@@ -45,10 +45,12 @@ def build_background(key, capacity, means, colors, sh_degree=3):
 
 
 def build_pvg_background(key, capacity, means, colors, t_init=None,
-                         sh_degree=3, beta_init=0.1):
+                         sh_degree=3, beta_init=0.1, time_scale=1.0):
+    """t_init: normalized per-point observation times (scaled into taus by
+    time_scale = time_interval * (num_frames - 1), pvg.py:47,53)."""
     params, mask = build_background(key, capacity, means, colors, sh_degree)
     params.update(pvg_mod.init_extras(key, capacity, means.shape[0], t_init,
-                                      beta_init))
+                                      beta_init, time_scale))
     return params, mask
 
 

@@ -61,6 +61,15 @@ class TrainerConfig:
     sh_degree: int = 3
     sh_degree_interval: int = 1000
 
+    # PVG temporal model (pvg.yaml pvg:62-67; reference pvg.py:375-389).
+    # pvg_time_interval: scaled-time spacing between consecutive frames; the
+    # trainer maps normalized [0,1] batch times onto that axis (pvg.py:46-47)
+    pvg_cycle: float = 0.2
+    pvg_time_interval: float = 0.02
+    pvg_temporal_smoothing: bool = False
+    pvg_smooth_probability: float = 0.5
+    pvg_distribution_span: float = 1.5     # unit: frame intervals
+
     # bilateral / sky / misc model hyperparams
     ms_grid: tuple = bilateral.DEFAULT_MS_GRID
     guidance_factor: tuple = bilateral.DEFAULT_GUIDANCE_FACTOR
@@ -160,7 +169,7 @@ def gaussian_classes(cfg: TrainerConfig):
 
 def collect_gaussians(cfg: TrainerConfig, params, statics, masks, cam_origin,
                       step, frame, t, in_test_set=False,
-                      opacity_multiplier=None):
+                      opacity_multiplier=None, time_offset=0.0):
     """Per-class get_gaussians + static concat (base.py:342-383).
     `statics[name]` must already include that class's aux arrays
     (point_ids etc.) — see `merge_statics`."""
@@ -170,9 +179,17 @@ def collect_gaussians(cfg: TrainerConfig, params, statics, masks, cam_origin,
             params["Background"], masks["Background"], cam_origin, step,
             background.BackgroundConfig(cfg.sh_degree, cfg.sh_degree_interval))
     elif cfg.background_model == "pvg":
+        # temporal smoothing (pvg.py:375-389): render at the perturbed time
+        # t1 = t + offset with a linear velocity correction back toward the
+        # true train time t2 = t (delta_t = t2 - t1 = -offset). Normalized
+        # times map onto the scaled axis taus/cycle/betas live on.
+        ts = cfg.pvg_time_interval * max(cfg.num_frames - 1, 1)
         bundles["Background"] = pvg.gaussians(
-            params["Background"], masks["Background"], cam_origin, step, t,
-            pvg.PVGConfig(cfg.sh_degree, cfg.sh_degree_interval))
+            params["Background"], masks["Background"], cam_origin, step,
+            (t + time_offset) * ts,
+            pvg.PVGConfig(cfg.sh_degree, cfg.sh_degree_interval,
+                          cycle=cfg.pvg_cycle),
+            smooth_delta_t=-time_offset * ts)
     elif cfg.background_model == "deformgs":
         bg = params["Background"]
         bundles["Background"] = deformable.deformgs_gaussians(
@@ -216,7 +233,7 @@ def merge_statics(statics, aux):
 def forward(cfg: TrainerConfig, params, statics, masks, batch,
             step, in_test_set: bool = False, novel_view: bool = False,
             means2d_dummy=None, opacity_multiplier=None,
-            neighbor_idx=None):
+            neighbor_idx=None, time_offset=0.0):
     """Full forward pass (base.py:447-500 + scene_graph affine dispatch).
 
     batch: camera_to_world (4,4), intrinsics (3,3), pixels (H,W,3), viewdirs
@@ -237,7 +254,7 @@ def forward(cfg: TrainerConfig, params, statics, masks, batch,
 
     merged, labels = collect_gaussians(
         cfg, params, statics, masks, c2w[:3, 3], step, batch["frame_idx"],
-        batch["normed_time"], in_test_set, opacity_multiplier)
+        batch["normed_time"], in_test_set, opacity_multiplier, time_offset)
 
     rcfg = pipeline.RasterizeConfig(
         near_plane=cfg.near_plane, far_plane=cfg.far_plane,
@@ -400,12 +417,18 @@ def compute_losses(cfg: TrainerConfig, params, statics, masks, outputs,
         class_radii[name] = radii[offset:offset + c]
         offset += c
 
-    if cfg.background_model == "vanilla" and cfg.background_reg:
+    if cfg.background_model != "none" and cfg.background_reg:
+        bg_regs = _regs(cfg.background_reg)
+        vel = bg_regs.pop("velocity_reg", None)
         for k, v in background.reg_loss(
                 params["Background"], masks["Background"],
-                class_radii.get("Background"), step,
-                _regs(cfg.background_reg)).items():
+                class_radii.get("Background"), step, bg_regs).items():
             loss[f"Background_{k}"] = v
+        if vel is not None and cfg.background_model == "pvg":
+            loss["Background_velocity_reg"] = pvg.velocity_reg_loss(
+                params["Background"], masks["Background"],
+                class_radii.get("Background"), vel.get("w", 0.001),
+                pvg.PVGConfig(cycle=cfg.pvg_cycle))
     if cfg.use_rigid and cfg.w_rigid_temporal > 0:
         loss["RigidNodes_temporal"] = rigid.temporal_smoothness_loss(
             params["RigidNodes"], statics["RigidNodes"],
@@ -494,9 +517,21 @@ def compute_grads(cfg: TrainerConfig, statics, state: TrainerState, batch):
     n_total = sum(state.masks[n].shape[0] for n in gaussian_classes(cfg))
     dummy = jnp.zeros((n_total, 2))
 
+    # PVG temporal smoothing: with probability p render at a time perturbed
+    # within +-distribution_span frame intervals (pvg.py:375-389). The key is
+    # folded with the step (state.key itself is split by the update half).
+    time_offset = 0.0
+    if cfg.background_model == "pvg" and cfg.pvg_temporal_smoothing:
+        k1, k2 = jax.random.split(jax.random.fold_in(state.key, 17))
+        bound = cfg.pvg_distribution_span / max(cfg.num_frames - 1, 1)
+        offs = jax.random.uniform(k2, minval=-bound, maxval=bound)
+        time_offset = jnp.where(
+            jax.random.uniform(k1) < cfg.pvg_smooth_probability, offs, 0.0)
+
     def loss_fn(params, dummy):
         outputs = forward(cfg, params, full_statics, state.masks, batch,
-                          state.step, means2d_dummy=dummy)
+                          state.step, means2d_dummy=dummy,
+                          time_offset=time_offset)
         loss = compute_losses(cfg, params, full_statics, state.masks, outputs,
                               batch, state.step)
         total = sum(loss.values())

@@ -168,3 +168,73 @@ class TestExport:
     def test_backup(self, tmp_path):
         out = backup.backup_project(str(tmp_path))
         assert os.path.exists(os.path.join(out, "core", "transforms.py"))
+
+
+def test_pvg_temporal_smoothing_trains():
+    """Smoothing on: perturbed render times + velocity correction must still
+    produce finite losses and gradients into velocity (pvg.py:375-389)."""
+    key = jax.random.key(2)
+    scene = synthetic.make_scene(key, num_bg=150, width=32, height=32)
+    cfg = trainer.TrainerConfig(
+        background_model="pvg", sky_model="none", affine_model="none",
+        isect_capacity=2 ** 11, interpret=True, num_images=4, num_frames=4,
+        sh_degree=0, density=density.DensityConfig(refine_interval=10000),
+        w_depth=0.0, pvg_temporal_smoothing=True, pvg_smooth_probability=1.0,
+        pvg_distribution_span=1.5)
+    params, statics, aux, masks = _base(key, scene, cfg)
+    p, m = setup.build_pvg_background(key, 256, scene.bg_means,
+                                      scene.bg_colors,
+                                      t_init=jnp.zeros(150), sh_degree=0)
+    params["Background"] = p
+    masks["Background"] = m
+    aux["Background"] = {}
+    statics["Background"] = {}
+    batch = synthetic.make_batch(scene, 1, jax.random.uniform(key, (32, 32, 3)))
+    state, metrics = _run_steps(cfg, params, statics, aux, masks, batch, n=3)
+    # velocity receives gradient through the smoothing correction term
+    dv = jnp.abs(state.params["Background"]["velocity"]
+                 - params["Background"]["velocity"]).max()
+    assert float(dv) > 0.0
+
+
+class TestRigidEditing:
+    def _setup(self):
+        from bilateral_driving_tpu.scene import rigid
+        cap = 12
+        pid = jnp.array([0, 0, 0, 1, 1, 2, 2, 2, 2, 0, 1, 2])
+        mask = jnp.ones(cap, bool).at[9:].set(False)   # 3 dead slots
+        params = {
+            "means": jnp.arange(cap * 3, dtype=jnp.float32).reshape(cap, 3),
+            "quats": jnp.tile(jnp.array([1.0, 0, 0, 0]), (cap, 1)),
+            "instances_quats": jnp.zeros((4, 3, 4)),
+            "instances_trans": jnp.zeros((4, 3, 3)),
+        }
+        statics = {"point_ids": pid,
+                   "instances_fv": jnp.ones((4, 3), bool),
+                   "instances_size": jnp.ones((3, 3))}
+        return rigid, params, statics, mask
+
+    def test_remove(self):
+        rigid, params, statics, mask = self._setup()
+        m2 = rigid.remove_instances(statics, mask, [1])
+        np.testing.assert_array_equal(
+            np.asarray(m2),
+            [True, True, True, False, False, True, True, True, True,
+             False, False, False])
+
+    def test_replace(self):
+        rigid, params, statics, mask = self._setup()
+        p2, s2, m2 = rigid.replace_instances(params, statics, mask, {1: 0})
+        pid2 = np.asarray(s2["point_ids"])
+        alive2 = np.asarray(m2)
+        # instance 1 now has exactly as many live points as instance 0 had
+        assert (alive2 & (pid2 == 1)).sum() == 3
+        # geometry of the new points copies instance 0's live rows
+        new_rows = np.flatnonzero(alive2 & (pid2 == 1))
+        src_rows = np.flatnonzero(np.asarray(mask) & (np.asarray(
+            statics["point_ids"]) == 0))
+        np.testing.assert_allclose(np.asarray(p2["means"])[new_rows],
+                                   np.asarray(params["means"])[src_rows])
+        # pose tracks untouched
+        np.testing.assert_allclose(np.asarray(p2["instances_trans"]),
+                                   np.asarray(params["instances_trans"]))
