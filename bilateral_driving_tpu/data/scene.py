@@ -87,6 +87,17 @@ class SceneData:
     # + 23 body joints, "betas" (10,), "valid" (F,)} (humanpose/smpl.pkl;
     # nuscenes_sourceloader.py:284-336)
     smpl_poses: Optional[Dict[str, Dict[str, np.ndarray]]] = None
+    # source dataset key ("waymo", "nuscenes/6cams", ...) for camera-name
+    # lookups in visualization layouts; None for synthetic/unknown
+    dataset: Optional[str] = None
+
+    def camera_names(self) -> List[str]:
+        from . import meta as meta_mod
+        layout = meta_mod.get_layout(self.dataset)
+        if layout is None:
+            return [f"cam_{i}" for i in range(self.num_cams)]
+        return [layout.cameras[i].name if i in layout.cameras else f"cam_{i}"
+                for i in range(self.num_cams)]
 
     @property
     def num_images(self) -> int:
@@ -401,6 +412,7 @@ def load_scene(
         width=W,
         height=H,
         egocar_masks=egocar,
+        dataset=dataset,
     )
     if compute_depth_maps and any(p.shape[0] for p in lidar_pts):
         data.lidar_depth_maps = project_lidar_depth(data)

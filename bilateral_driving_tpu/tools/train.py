@@ -119,7 +119,52 @@ def main():
     max_steps = tcfg.max_steps
     ckpt_every = cfg.get_path("logging.ckpt_every", 10000)
     log_every = cfg.get_path("logging.log_every", 100)
+    vis_freq = int(cfg.get_path("logging.vis_freq", 0) or 0)
+    refresh_every = int(cfg.get_path("sampler.refresh_every", 0) or 0)
+    refresh_downscale = int(cfg.get_path("sampler.refresh_downscale", 4))
     mlogger = MetricLogger(output_file=os.path.join(log_dir, "metrics.json"))
+    from ..utils import tb as tb_lib
+    from ..utils import visualization as vis_lib
+    tbw = tb_lib.TBWriter(os.path.join(log_dir, "tb"))
+    if vis_freq > 0:
+        os.makedirs(os.path.join(log_dir, "images"), exist_ok=True)
+
+    def visualize(step: int) -> None:
+        """Render every camera of a sweeping timestep to a tiled
+        gt/render/depth/error snapshot (reference tools/train.py:196-246)."""
+        if data is None:
+            return
+        n_vis = max(max_steps // vis_freq, 1)
+        frame = int(np.linspace(0, data.num_frames, n_vis + 1,
+                                endpoint=False, dtype=int)[step // vis_freq])
+        idxs = np.flatnonzero(data.frame_of_image == frame)
+        res = render_loop.render_images(tcfg, state, statics, data, idxs,
+                                        neighbor_map=neighbor_map,
+                                        compute_metrics=True)
+        names = [data.camera_names()[int(data.cam_of_image[i])]
+                 for i in idxs]
+        grid = vis_lib.snapshot_grid(res, names, data.dataset,
+                                     max_depth=tcfg.max_depth)
+        vis_lib.save_png(grid, os.path.join(log_dir, "images",
+                                            f"step_{step}.png"))
+        agg = render_loop.aggregate_metrics(res["metrics"])
+        tbw.scalars({f"image_metrics/{k}": v for k, v in agg.items()}, step)
+        tbw.image("image_rendering/gt_rgbs_render_rgbs_depths_error", grid,
+                  step)
+
+    def refresh_error_buffer(step: int) -> None:
+        """Recompute every train image's error at low res so rarely-sampled
+        images don't keep stale priorities (reference refreshes pixel error
+        maps from full eval renders, pixel_source.py:948-983)."""
+        res = render_loop.render_images(
+            tcfg, state, statics, data, train_indices,
+            neighbor_map=neighbor_map, compute_metrics=False,
+            downscale=refresh_downscale)
+        for idx, pred, gt in zip(train_indices, res["rgbs"], res["gt_rgbs"]):
+            sampler.update_error(int(idx),
+                                 max(float(np.mean(np.abs(pred - gt))), 1e-6))
+        logger.info(f"error buffer refreshed over {len(train_indices)} "
+                    f"train images at 1/{refresh_downscale} res")
 
     # coarse-to-fine resolution schedule (base.py:142-146): train at
     # 1/2^downscale_times resolution, doubling every double_steps. Each
@@ -136,6 +181,11 @@ def main():
     t0 = time.time()
     start_step = int(state.step)
     for step in range(start_step, max_steps):
+        if vis_freq > 0 and step % vis_freq == 0:
+            visualize(step)
+        if refresh_every > 0 and data is not None and step > 0 \
+                and step % refresh_every == 0:
+            refresh_error_buffer(step)
         idx = sampler.propose(train_indices)
         batch = get_batch(int(idx), sched_downscale(step))
         state, metrics = step_fn(state, batch)
@@ -149,6 +199,7 @@ def main():
                  if not k.startswith("loss/")}
             mlogger.update(**m)
             mlogger.dump(step)
+            tbw.scalars({k: float(v) for k, v in metrics.items()}, step)
             logger.info(
                 f"step {step}/{max_steps} " +
                 " ".join(f"{k}={v:.4f}" for k, v in m.items()) +
@@ -176,6 +227,7 @@ def main():
 
             with open(os.path.join(log_dir, "test_metrics.json"), "w") as f:
                 json.dump(agg, f, indent=2)
+    tbw.close()
 
 
 if __name__ == "__main__":
