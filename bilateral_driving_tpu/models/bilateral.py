@@ -26,8 +26,11 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-RGB2GRAY = jnp.array([0.299, 0.587, 0.114])  # BT601, lib_bilagrid.py:297
+# numpy, not jnp: a module-level device array initializes the XLA backend
+# at import, forbidding a later jax.distributed.initialize()
+RGB2GRAY = np.array([0.299, 0.587, 0.114], np.float32)  # BT601, lib_bilagrid.py:297
 
 ONE_HOT_MAX_CELLS = 1024  # slice via dense weights matmul up to this size
 

@@ -11,10 +11,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import transforms
 
-IDENTITY_6D = jnp.array([1.0, 0.0, 0.0, 0.0, 1.0, 0.0])
+# numpy, not jnp: a module-level device array initializes the XLA backend
+# at import, forbidding a later jax.distributed.initialize()
+IDENTITY_6D = np.array([1.0, 0.0, 0.0, 0.0, 1.0, 0.0], np.float32)
 
 
 def init_camera_opt(key, num_images: int, std: float = 0.0):

@@ -14,11 +14,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import encoders
 
 # world -> OpenGL axis permutation applied to view dirs (modules.py:190)
-TO_OPENGL = jnp.array([[1.0, 0.0, 0.0], [0.0, 0.0, 1.0], [0.0, -1.0, 0.0]])
+# numpy (not jnp): module-level device arrays would initialize the XLA
+# backend at import, which forbids a later jax.distributed.initialize()
+TO_OPENGL = np.array([[1.0, 0.0, 0.0], [0.0, 0.0, 1.0], [0.0, -1.0, 0.0]],
+                     dtype=np.float32)
 
 
 # --------------------------------------------------------------------------

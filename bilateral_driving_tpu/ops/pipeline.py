@@ -47,6 +47,11 @@ class RasterizeConfig:
     antialiased: bool = struct.field(pytree_node=False, default=False)
     isect_capacity: int = struct.field(pytree_node=False, default=2 ** 21)
     interpret: bool = struct.field(pytree_node=False, default=False)
+    # (width, height) of the FULL image when rendering a sub-rectangle
+    # (tile-sharded bands): keeps the EWA Jacobian's frustum clamp identical
+    # across bands. None = use the render extent.
+    fov_extent: Optional[tuple] = struct.field(pytree_node=False,
+                                               default=None)
 
 
 def isect_buffer_size(width: int, height: int, isect_capacity: int) -> int:
@@ -69,7 +74,8 @@ def probe_num_isects(means, quats, scales, viewmat, K, width: int,
         proj = projection.project(
             means, quats, scales, viewmat, K, width, height,
             near_plane=cfg.near_plane, far_plane=cfg.far_plane,
-            radius_clip=cfg.radius_clip, antialiased=cfg.antialiased)
+            radius_clip=cfg.radius_clip, antialiased=cfg.antialiased,
+            fov_extent=cfg.fov_extent)
         sp = binning.spans(proj.means2d, proj.radii, proj.valid, width,
                            height)
         return jnp.sum(sp.counts)
@@ -226,6 +232,7 @@ def rasterize(
         means, quats, scales, viewmat, K, width, height,
         near_plane=cfg.near_plane, far_plane=cfg.far_plane,
         radius_clip=cfg.radius_clip, antialiased=cfg.antialiased,
+        fov_extent=cfg.fov_extent,
     )
     if means2d_dummy is not None:
         # zeros input whose gradient is the per-Gaussian screen-space

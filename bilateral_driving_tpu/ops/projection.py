@@ -48,6 +48,7 @@ def project(
     radius_clip: float = 0.0,
     antialiased: bool = False,
     eps2d: float = EPS2D,
+    fov_extent: tuple | None = None,
 ) -> Projected:
     from ..core import transforms
 
@@ -65,9 +66,13 @@ def project(
     zs = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
     rz = 1.0 / zs
 
-    # frustum-clamped point for the Jacobian (gsplat persp_proj)
-    tan_fov_x = 0.5 * width / fx
-    tan_fov_y = 0.5 * height / fy
+    # frustum-clamped point for the Jacobian (gsplat persp_proj).
+    # fov_extent overrides the clamp's field of view when rendering a
+    # sub-rectangle of a larger image (tile-sharded bands must clamp the
+    # Jacobian exactly like the full image so bands stitch seamlessly)
+    fov_w, fov_h = fov_extent if fov_extent is not None else (width, height)
+    tan_fov_x = 0.5 * fov_w / fx
+    tan_fov_y = 0.5 * fov_h / fy
     lim_x = 1.3 * tan_fov_x
     lim_y = 1.3 * tan_fov_y
     tx = zs * jnp.clip(mean_c[..., 0] * rz, -lim_x, lim_x)

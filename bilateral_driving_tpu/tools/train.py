@@ -22,6 +22,7 @@ import numpy as np
 
 from ..data import importance, synthetic
 from ..eval import render_loop
+from ..parallel import data_parallel
 from ..train import checkpoint, trainer
 from ..utils import config as config_lib
 from ..utils.logging import MetricLogger, setup_logging, logger
@@ -37,6 +38,15 @@ def parse_args():
     p.add_argument("--run_name", default="run")
     p.add_argument("--resume_from", default=None)
     p.add_argument("--seed", type=int, default=0)
+    # multi-chip / multi-host (parallel/{data_parallel,distributed}.py —
+    # new capability over the reference's single-GPU assert, base.py:411)
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard each step's image batch over this many "
+                        "devices (0 = single device, -1 = all devices)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 for multi-host runs")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("opts", nargs="*", help="dotlist overrides key=value")
     return p.parse_args()
 
@@ -56,11 +66,19 @@ def _resolve_dataset_file(cfg, args):
 
 def main():
     args = parse_args()
+    # must precede every other jax call (backend init forbids it afterwards)
+    from ..parallel import distributed
+    multiprocess = distributed.maybe_initialize(distributed.DistConfig(
+        coordinator=args.coordinator, num_processes=args.num_processes,
+        process_id=args.process_id))
+    is_lead = jax.process_index() == 0
     cfg = config_lib.load_config(args.config_file, None, args.opts)
     ds_file = _resolve_dataset_file(cfg, args)
     if ds_file:
         cfg = config_lib.load_config(args.config_file, ds_file, args.opts)
     log_dir = os.path.join(args.output_root, args.project, args.run_name)
+    if multiprocess and not is_lead:
+        log_dir = os.path.join(log_dir, f"proc{jax.process_index()}")
     os.makedirs(log_dir, exist_ok=True)
     setup_logging(log_dir)
     config_lib.save_config(cfg, os.path.join(log_dir, "config.yaml"))
@@ -109,7 +127,23 @@ def main():
         state = checkpoint.restore_checkpoint(args.resume_from, state)
         logger.info(f"resumed from {args.resume_from} @ step {int(state.step)}")
 
-    step_fn = jax.jit(functools.partial(trainer.train_step, tcfg, statics))
+    # parallel plan: 0 = single device; N>0 / -1(all) = image batch sharded
+    # over a `data` mesh, grads pmean'd over ICI/DCN (data_parallel.py)
+    mesh = None
+    if multiprocess:
+        mesh = distributed.global_mesh()
+    elif args.data_parallel and (args.data_parallel < 0
+                                 or args.data_parallel > 1):
+        n_dev = (len(jax.devices()) if args.data_parallel < 0
+                 else args.data_parallel)
+        mesh = data_parallel.make_mesh(n_dev)
+    if mesh is not None:
+        logger.info(f"data-parallel over {mesh.size} devices "
+                    f"({jax.process_count()} processes)")
+        step_fn = data_parallel.parallel_train_step(tcfg, statics, mesh)
+    else:
+        step_fn = jax.jit(functools.partial(trainer.train_step, tcfg,
+                                            statics))
     sampler = importance.ImageSampler(
         num_images, cfg.get_path("data.num_cams", 1),
         buffer_ratio=cfg.get_path("sampler.buffer_ratio", 0.5),
@@ -186,14 +220,32 @@ def main():
         if refresh_every > 0 and data is not None and step > 0 \
                 and step % refresh_every == 0:
             refresh_error_buffer(step)
-        idx = sampler.propose(train_indices)
-        batch = get_batch(int(idx), sched_downscale(step))
-        state, metrics = step_fn(state, batch)
+        ds = sched_downscale(step)
+        if mesh is None:
+            idxs = [int(sampler.propose(train_indices))]
+            state, metrics = step_fn(state, get_batch(idxs[0], ds))
+        elif multiprocess:
+            # deterministic cross-host picks; each process builds only its
+            # local devices' images (no cross-host data exchange)
+            idxs = distributed.process_train_indices(
+                train_indices, args.seed, step, mesh)
+            local = data_parallel.stack_batches(
+                [get_batch(int(i), ds) for i in idxs])
+            gbatch = distributed.host_local_batch_to_global(local, mesh)
+            state, metrics = step_fn(state, gbatch)
+        else:
+            idxs = [int(sampler.propose(train_indices))
+                    for _ in range(mesh.size)]
+            stacked = data_parallel.stack_batches(
+                [get_batch(i, ds) for i in idxs])
+            state, metrics = step_fn(state,
+                                     data_parallel.shard_batch(stacked, mesh))
         if not np.isfinite(float(metrics["loss"])):
             raise RuntimeError(f"non-finite loss at step {step}: "
                                f"{ {k: float(v) for k, v in metrics.items()} }")
-        sampler.update_error(int(idx),
-                             float(jnp.maximum(1e-6, metrics["loss"])))
+        err = float(jnp.maximum(1e-6, metrics["loss"]))
+        for i in idxs:
+            sampler.update_error(int(i), err)
         if step % log_every == 0:
             m = {k: float(v) for k, v in metrics.items()
                  if not k.startswith("loss/")}
