@@ -1,0 +1,78 @@
+"""Offline preprocessing dispatcher (reference datasets/preprocess.py:20-29).
+
+    python -m bilateral_driving_tpu.preprocess.cli \
+        --dataset nuscenes --data_root /data/nuscenes --version v1.0-mini \
+        --target_dir ./data/nuscenes/processed_10hz \
+        --scene_ids 0 1 2 \
+        --process_keys images calib lidar dynamic_masks objects
+
+Separate stages (as in the reference):
+    --process_keys sky_masks   runs SegFormer over already-converted scenes
+SMPL tracking (4D-Humans/PHALP) is an external pipeline whose output
+(humanpose/smpl.pkl) the data layer consumes directly.
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="nuscenes",
+                   choices=["nuscenes", "waymo"])
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--target_dir", required=True)
+    p.add_argument("--version", default="v1.0-mini",
+                   help="nuScenes table version (v1.0-mini/v1.0-trainval)")
+    p.add_argument("--scene_ids", type=int, nargs="+", default=[0])
+    p.add_argument("--process_keys", nargs="+",
+                   default=["images", "calib", "lidar", "dynamic_masks",
+                            "objects"])
+    p.add_argument("--checkpoint", default=None,
+                   help="SegFormer checkpoint for sky_masks")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    keys = set(args.process_keys)
+    convert_keys = keys - {"sky_masks"}
+
+    outputs = []
+    if convert_keys:
+        if args.dataset == "nuscenes":
+            from . import nuscenes as nsc
+
+            conv = nsc.NuScenesConverter(
+                args.data_root, args.target_dir, version=args.version,
+                process_keys=convert_keys)
+            for sid in args.scene_ids:
+                out = conv.convert_scene(sid)
+                outputs.append(out)
+                print(f"scene {sid} -> {out}")
+        else:
+            from . import waymo as wy
+
+            for sid in args.scene_ids:
+                out = wy.convert_scene(args.data_root, args.target_dir, sid,
+                                       process_keys=convert_keys)
+                outputs.append(out)
+                print(f"scene {sid} -> {out}")
+
+    if "sky_masks" in keys:
+        from . import masks
+
+        kw = {"checkpoint": args.checkpoint} if args.checkpoint else {}
+        mp = masks.load_segmenter(**kw)
+        import os
+
+        targets = outputs or [
+            os.path.join(args.target_dir, f"{sid:03d}")
+            for sid in args.scene_ids]
+        for out in targets:
+            n = masks.extract_scene_masks(out, model_proc=mp)
+            print(f"sky masks: {n} images in {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,11 +1,15 @@
-"""Per-stage rasterization profile at bench scale (honest: varied inputs).
+"""Per-stage rasterization profile at bench scale — in-program loops.
 
-Times each pipeline stage independently on the current backend so perf work
-targets measured walls, not guesses (VERDICT round-1 asked for a profiling
-harness; the axon tunnel caches identical executions, so every timed call
-perturbs its inputs).
+ROUND-2 LESSON (supersedes the round-1 harness): the axon tunnel flips into
+a slow mode (~28 ms per sync round trip, ~6 ms per pipelined dispatch) after
+the first big-data program executes, and never recovers. Any *small* op timed
+by dispatch loops then reads as ~6 ms regardless of its true cost — the
+round-1 per-stage numbers (gather "6.5 ms", fill "6.7 ms", cumsum "6.2 ms")
+were pure dispatch overhead; the real XLA costs are ~0.1 ms. The only honest
+measurement runs K iterations *inside one jitted program* (lax.fori_loop with
+per-iteration input perturbation so nothing hoists) and divides.
 
-Usage: python tools/profile_stages.py [--n 400000] [--cap 20]
+Usage: python tools/profile_stages.py [--n 400000] [--cap 20] [--iters 8]
 """
 import argparse
 import os
@@ -18,28 +22,39 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, *args, iters=10, vary=None):
-    """Mean wall time of jitted fn over pipelined dispatches.
+def time_loop(make_body, iters=8, trials=3):
+    """Time `make_body(i)` executed `iters` times inside ONE program.
 
-    The axon tunnel costs ~21 ms per *synchronous* round trip but ~0 per
-    pipelined dispatch, so all iterations are issued back-to-back and blocked
-    on once. Inputs are pre-materialized perturbed copies (identical
-    executions are served from the tunnel cache and would time as 0)."""
-    jax.block_until_ready(fn(*args))
-    arglist = [vary(args, i) if vary is not None else args
-               for i in range(1, iters + 1)]
-    arglist = jax.block_until_ready(arglist)
-    t0 = time.perf_counter()
-    outs = [fn(*a) for a in arglist]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / iters
+    make_body(i) must return a scalar (or pytree summed to one) that depends
+    on the loop index so XLA cannot hoist or CSE iterations."""
+
+    @jax.jit
+    def loop():
+        def body(i, acc):
+            return acc + make_body(i)
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    jax.block_until_ready(loop())
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop())
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
+def scalarize(tree):
+    leaves = [x.astype(jnp.float32).sum() if x.dtype != jnp.bool_
+              else x.sum().astype(jnp.float32)
+              for x in jax.tree.leaves(tree)]
+    return sum(leaves)
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=400_000)
     p.add_argument("--cap", type=int, default=20, help="log2 isect capacity")
-    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--iters", type=int, default=8)
     args = p.parse_args()
 
     from bilateral_driving_tpu.core import gaussians as G
@@ -64,232 +79,127 @@ def main():
     K = jnp.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
     view = jnp.eye(4)
     cfg = pipeline.RasterizeConfig(isect_capacity=cap)
-    vary_m = lambda a, i: (a[0] + i * 1e-5,) + tuple(a[1:])
+    it = args.iters
 
     def report(name, dt):
-        print(f"{name:42s} {dt * 1e3:8.2f} ms")
+        print(f"{name:42s} {dt * 1e3:8.2f} ms", flush=True)
 
-    # ---- full pipeline fwd+bwd ----
-    @jax.jit
-    def fwd_bwd(m, c, o):
-        def loss(m, c, o):
-            out = pipeline.rasterize(m, quats, scales, o, c, view, K, W, H, cfg)
-            return (jnp.sum(out["rgb"]) + jnp.sum(out["alpha"])
-                    + jnp.sum(out["depth"]))
-        return jax.value_and_grad(loss, argnums=(0, 1, 2))(m, c, o)
-
-    report("full fwd+bwd", timeit(fwd_bwd, means, colors, opac,
-                                  iters=args.iters, vary=vary_m))
-
-    # ---- fwd only ----
-    @jax.jit
-    def fwd(m, c, o):
+    def loss(m, c, o):
         out = pipeline.rasterize(m, quats, scales, o, c, view, K, W, H, cfg)
-        return out["rgb"].sum(), out["alpha"].sum(), out["depth"].sum()
+        return (jnp.sum(out["rgb"]) + jnp.sum(out["alpha"])
+                + jnp.sum(out["depth"]))
 
-    report("full fwd only", timeit(fwd, means, colors, opac,
-                                   iters=args.iters, vary=vary_m))
+    report("full fwd+bwd", time_loop(
+        lambda i: loss(means + i * 1e-5, colors, opac)
+        + scalarize(jax.grad(loss, argnums=(0, 1, 2))(
+            means + i * 1e-5, colors, opac)),
+        iters=it))
 
-    # ---- projection ----
-    @jax.jit
-    def proj_only(m):
-        p = projection.project(m, quats, scales, view, K, W, H)
-        return jax.tree.map(jnp.sum, p)
+    report("full fwd only", time_loop(
+        lambda i: loss(means + i * 1e-5, colors, opac), iters=it))
 
-    report("projection fwd", timeit(proj_only, means, iters=args.iters,
-                                    vary=lambda a, i: (a[0] + i * 1e-5,)))
+    report("projection fwd", time_loop(
+        lambda i: scalarize(projection.project(
+            means + i * 1e-5, quats, scales, view, K, W, H)), iters=it))
+
+    def proj_grad(i):
+        def f(m):
+            pr = projection.project(m, quats, scales, view, K, W, H)
+            return (jnp.sum(pr.means2d) + jnp.sum(pr.conics)
+                    + jnp.sum(pr.depths) + jnp.sum(pr.compensations))
+        return f(means + i * 1e-5) + scalarize(
+            jax.grad(f)(means + i * 1e-5))
+
+    report("projection fwd+bwd", time_loop(proj_grad, iters=it))
 
     proj = jax.jit(lambda m: projection.project(m, quats, scales, view, K,
                                                 W, H))(means)
     proj = jax.block_until_ready(proj)
 
-    # ---- binning ----
-    @jax.jit
-    def bin_only(m2d, radii, depths, valid):
-        isect = binning.bin_gaussians(m2d, radii, depths, valid, W, H, cap)
-        return jax.tree.map(jnp.sum, isect)
-
-    vary_b = lambda a, i: (a[0] + i * 1e-4,) + tuple(a[1:])
-    report("bin_gaussians", timeit(
-        bin_only, proj.means2d, proj.radii, proj.depths, proj.valid,
-        iters=args.iters, vary=vary_b))
+    report("bin_gaussians (no payloads)", time_loop(
+        lambda i: scalarize(binning.bin_gaussians(
+            proj.means2d + i * 1e-4, proj.radii, proj.depths, proj.valid,
+            W, H, cap)), iters=it))
 
     isect = jax.jit(lambda m2d: binning.bin_gaussians(
         m2d, proj.radii, proj.depths, proj.valid, W, H, cap))(proj.means2d)
     isect = jax.block_until_ready(isect)
-    print(f"  num_isects={int(isect.num_isects)}  overflow={bool(isect.overflow)}")
-    m_al = isect.gauss_ids.shape[0]
+    print(f"  num_isects={int(isect.num_isects)}  "
+          f"overflow={bool(isect.overflow)}")
     ntx, nty = binning.num_tiles(W, H)
     n_tiles = ntx * nty
 
-    # ---- binning sub-stages ----
-    def sub_spans(m2d):
-        r = proj.radii.astype(jnp.float32)
-        x, y = m2d[..., 0], m2d[..., 1]
-        T = binning.TILE
-        tx0 = jnp.clip(jnp.floor((x - r) / T), 0, ntx).astype(jnp.int32)
-        tx1 = jnp.clip(jnp.ceil((x + r) / T), 0, ntx).astype(jnp.int32)
-        ty0 = jnp.clip(jnp.floor((y - r) / T), 0, nty).astype(jnp.int32)
-        ty1 = jnp.clip(jnp.ceil((y + r) / T), 0, nty).astype(jnp.int32)
-        return tx0.sum() + tx1.sum() + ty0.sum() + ty1.sum()
+    # ---- binning sub-stages (in-program loops) ----
+    report("  spans+expand", time_loop(
+        lambda i: scalarize(binning.expand(binning.spans(
+            proj.means2d + i * 1e-4, proj.radii, proj.valid, W, H).counts,
+            cap)), iters=it))
 
-    report("  spans", timeit(jax.jit(sub_spans), proj.means2d,
-                             iters=args.iters,
-                             vary=lambda a, i: (a[0] + i * 1e-4,)))
-
-    from bilateral_driving_tpu.ops import scan_utils
-    offs = jnp.arange(n, dtype=jnp.int32) * 3 % cap  # fake offsets
-    offs = jnp.sort(offs)
-
-    def sub_fill(offsets):
-        return binning._fill_monotone(jnp.arange(n, dtype=jnp.int32),
-                                      offsets, cap).sum()
-
-    report("  fill_monotone (cap)", timeit(
-        jax.jit(sub_fill), offs, iters=args.iters,
-        vary=lambda a, i: (jnp.sort((a[0] + i) % cap),)))
-
-    g = jax.jit(lambda o: binning._fill_monotone(
-        jnp.arange(n, dtype=jnp.int32), o, cap))(offs)
-    g = jax.block_until_ready(g)
+    sp = jax.jit(lambda m: binning.spans(m, proj.radii, proj.valid, W, H))(
+        proj.means2d)
+    ex = jax.jit(lambda c: binning.expand(c, cap))(sp.counts)
+    sp, ex = jax.block_until_ready((sp, ex))
 
     table5 = jnp.stack([proj.means2d[:, 0], proj.means2d[:, 1],
                         proj.depths, proj.depths, proj.depths], 1)
 
-    def sub_gather5(t):
-        return t[g].sum()
+    report("  row gather (N,5)[g]", time_loop(
+        lambda i: jnp.sum(jnp.minimum(table5[jnp.minimum(
+            ex.g + i, n - 1)], 1e6)), iters=it))
 
-    report("  row gather (N,5)[g] monotone", timeit(
-        jax.jit(sub_gather5), table5, iters=args.iters,
-        vary=lambda a, i: (a[0] + i * 1e-5,)))
-
-    ridx = jax.random.randint(jax.random.key(1), (cap,), 0, n)
-
-    def sub_gather5r(t):
-        return t[ridx].sum()
-
-    report("  row gather (N,5)[rand] cap", timeit(
-        jax.jit(sub_gather5r), table5, iters=args.iters,
-        vary=lambda a, i: (a[0] + i * 1e-5,)))
-
-    table10 = jnp.concatenate([table5, table5], 1)
-    ridx_al = jax.random.randint(jax.random.key(2), (m_al,), 0, n)
-
-    def sub_gather10r(t):
-        return t[ridx_al].sum()
-
-    report("  row gather (N,10)[rand] m_al", timeit(
-        jax.jit(sub_gather10r), table10, iters=args.iters,
-        vary=lambda a, i: (a[0] + i * 1e-5,)))
-
-    table16 = jnp.concatenate([table5, table5, table5, table5[:, :1]], 1)
-
-    def sub_gather16r(t):
-        return t[ridx_al].sum()
-
-    report("  row gather (N,16)[rand] m_al", timeit(
-        jax.jit(sub_gather16r), table16, iters=args.iters,
-        vary=lambda a, i: (a[0] + i * 1e-5,)))
+    tbl14 = jnp.concatenate([table5, table5, table5[:, :4]], axis=1)
+    report("  row gather (N,14)[g]", time_loop(
+        lambda i: jnp.sum(jnp.minimum(tbl14[jnp.minimum(
+            ex.g + i, n - 1)], 1e6)), iters=it))
 
     keyv = jax.random.randint(jax.random.key(3), (cap,), 0, 2 ** 30)
-    pay = jnp.arange(cap, dtype=jnp.int32)
+    pay8 = [jnp.full((cap,), 0.5, jnp.float32)] * 8
 
-    def sub_sort3(k):
-        return jax.lax.sort((k, pay, pay), dimension=0, num_keys=1,
-                            is_stable=False)[0].sum()
+    report("  sort cap (1key+2pay int)", time_loop(
+        lambda i: jnp.sum(jax.lax.sort(
+            ((keyv + i) % (2 ** 30), keyv, keyv), dimension=0, num_keys=1,
+            is_stable=False)[1]).astype(jnp.float32), iters=it))
 
-    report("  sort cap (1key+2pay)", timeit(
-        jax.jit(sub_sort3), keyv, iters=args.iters,
-        vary=lambda a, i: ((a[0] + i) % (2 ** 30),)))
+    report("  sort cap (1key+2int+10f32)", time_loop(
+        lambda i: scalarize(jax.lax.sort(
+            ((keyv + i) % (2 ** 30), keyv, keyv, *pay8, pay8[0], pay8[1]),
+            dimension=0, num_keys=1, is_stable=False)[1:]), iters=it))
 
-    payf = [jnp.ones((cap,), jnp.float32)] * 8
+    from bilateral_driving_tpu.ops import scan_utils
+    d10 = jnp.ones((10, cap), jnp.float32)
+    report("  cumsum_rows (10,cap) XLA", time_loop(
+        lambda i: jnp.sum(scan_utils.cumsum_rows(d10 + i * 1e-6)), iters=it))
 
-    def sub_sort9(k):
-        return jax.lax.sort((k, *payf), dimension=0, num_keys=1,
-                            is_stable=False)[0].sum()
+    offs = jnp.sort(jax.random.randint(jax.random.key(5), (n + 1,), 0, cap))
+    cs10 = jnp.ones((10, cap), jnp.float32)
+    report("  seg gather (10,N+1) from (10,cap)", time_loop(
+        lambda i: jnp.sum(cs10[:, jnp.minimum(offs + i, cap - 1)]), iters=it))
 
-    report("  sort cap (1key+8payf32)", timeit(
-        jax.jit(sub_sort9), keyv, iters=args.iters,
-        vary=lambda a, i: ((a[0] + i) % (2 ** 30),)))
+    # ---- pallas kernel fwd / bwd via pipeline-internal entry ----
+    feats16 = jnp.zeros((rp.FEAT, cap), jnp.float32)
+    feats16 = feats16.at[5].set(-2.0).at[2].set(0.05).at[4].set(0.05)
+    starts, counts = jax.block_until_ready(jax.jit(
+        lambda t: binning.tile_ranges(t, isect.num_isects, n_tiles, cap))(
+            isect.isect_tile))
 
-    sdest = jnp.sort(jax.random.randint(jax.random.key(4), (cap,), 0, m_al))
+    def kfwd(i):
+        img, tc, side, nl = rp.rasterize_fwd(
+            feats16.at[0].add(i * 1e-5), starts, counts, W, H)
+        return jnp.sum(img)
 
-    def sub_scatter1(v):
-        return jnp.zeros((m_al,), jnp.int32).at[sdest].set(
-            v, mode="drop", unique_indices=True).sum()
+    report("kernel fwd", time_loop(kfwd, iters=it))
 
-    report("  scatter cap int32 (sorted dest)", timeit(
-        jax.jit(sub_scatter1), keyv, iters=args.iters,
-        vary=lambda a, i: (a[0] + i,)))
+    def kfwdbwd(i):
+        def f(ft):
+            img, tc, side, nl = rp.rasterize_fwd(ft, starts, counts, W, H)
+            return jnp.sum(img)
+        ft = feats16.at[0].add(i * 1e-5)
+        img, tc, side, nl = rp.rasterize_fwd(ft, starts, counts, W, H)
+        g = jnp.ones_like(img)
+        d = rp.rasterize_bwd(ft, starts, counts, nl, tc, side, g, W, H)
+        return jnp.sum(img) + jnp.sum(d)
 
-    rdest = jax.random.permutation(jax.random.key(5),
-                                   jnp.arange(m_al))[:cap]
-
-    def sub_scatter1r(v):
-        return jnp.zeros((m_al,), jnp.int32).at[rdest].set(
-            v, mode="drop", unique_indices=True).sum()
-
-    report("  scatter cap int32 (rand dest)", timeit(
-        jax.jit(sub_scatter1r), keyv, iters=args.iters,
-        vary=lambda a, i: (a[0] + i,)))
-
-    rows10 = jnp.ones((cap, 10), jnp.float32)
-
-    def sub_scatter10r(v):
-        return jnp.zeros((m_al, 10), jnp.float32).at[rdest].set(
-            v, mode="drop", unique_indices=True).sum()
-
-    report("  scatter cap x10 f32 (rand dest)", timeit(
-        jax.jit(sub_scatter10r), rows10, iters=args.iters,
-        vary=lambda a, i: (a[0] + i,)))
-
-    def sub_cumsum_rows(x):
-        return scan_utils.cumsum_rows(x).sum()
-
-    rows10T = jnp.ones((10, cap), jnp.float32)
-    report("  cumsum_rows (10, cap)", timeit(
-        jax.jit(sub_cumsum_rows), rows10T, iters=args.iters,
-        vary=lambda a, i: (a[0] + i * 1e-6,)))
-
-    # ---- kernel fwd / bwd alone ----
-    feats = jnp.ones((rp.FEAT, m_al), jnp.float32) * 0.01
-
-    def kfwd(f):
-        return rp.rasterize_fwd(f, isect.tile_starts, isect.tile_chunks,
-                                n_tiles).sum()
-
-    report("kernel fwd", timeit(jax.jit(kfwd), feats, iters=args.iters,
-                                vary=lambda a, i: (a[0] + i * 1e-6,)))
-
-    gout = jnp.ones((n_tiles, rp.C_PAD, 8, 128), jnp.float32)
-
-    def kbwd(f):
-        return rp.rasterize_bwd(f, isect.tile_starts, isect.tile_chunks,
-                                gout, n_tiles).sum()
-
-    report("kernel bwd", timeit(jax.jit(kbwd), feats, iters=args.iters,
-                                vary=lambda a, i: (a[0] + i * 1e-6,)))
-
-    # ---- gather_rows fwd+bwd (the pipeline's table gather + VJP) ----
-    tbl = jnp.ones((n + 1, 10), jnp.float32)
-
-    def gr(t):
-        def loss(t):
-            return pipeline._gather_rows(t, isect.gauss_ids, isect.dest,
-                                         isect.offsets).sum()
-        return jax.value_and_grad(loss)(t)
-
-    report("_gather_rows fwd+bwd", timeit(
-        jax.jit(gr), tbl, iters=args.iters,
-        vary=lambda a, i: (a[0] + i * 1e-6,)))
-
-    def gr_fwd(t):
-        return pipeline._gather_rows(t, isect.gauss_ids, isect.dest,
-                                     isect.offsets).sum()
-
-    report("_gather_rows fwd only", timeit(
-        jax.jit(gr_fwd), tbl, iters=args.iters,
-        vary=lambda a, i: (a[0] + i * 1e-6,)))
+    report("kernel fwd+bwd", time_loop(kfwdbwd, iters=it))
 
 
 if __name__ == "__main__":
