@@ -54,32 +54,33 @@ def main():
         cap = 2 ** 13
     cfg = pipeline.RasterizeConfig(isect_capacity=cap, interpret=not on_tpu)
 
+    def loss(m, c, o):
+        out = pipeline.rasterize(m, quats, scales, o, c, view, K, W, H,
+                                 cfg)
+        return (jnp.sum(out["rgb"]) + jnp.sum(out["alpha"])
+                + jnp.sum(out["depth"]))
+
+    # iterations run INSIDE one program (lax.fori_loop, inputs perturbed per
+    # iteration so XLA cannot hoist): the axon tunnel pays ~6 ms per
+    # dispatch and ~28 ms per sync round trip once any big program has run,
+    # so dispatch-loop timing over-reports; in-program looping measures the
+    # chip (ROADMAP round-2 finding).
+    iters = 10 if on_tpu else 2
+
     @jax.jit
-    def fwd_bwd(means, colors, opac):
-        def loss(m, c, o):
-            out = pipeline.rasterize(m, quats, scales, o, c, view, K, W, H,
-                                     cfg)
-            return (jnp.sum(out["rgb"]) + jnp.sum(out["alpha"])
-                    + jnp.sum(out["depth"]))
+    def loop(means, colors, opac):
+        def body(i, acc):
+            l, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+                means + i * 1e-5, colors, opac)
+            return acc + l + sum(jnp.sum(x) for x in g)
+        return jax.lax.fori_loop(0, iters, body, 0.0)
 
-        l, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(means, colors, opac)
-        # grads are computed and *consumed on device* (summed to a scalar):
-        # returning the full pytree would time the single-client tunnel's
-        # host transfer, not the chip (ROADMAP round-2 finding)
-        return l, sum(jnp.sum(x) for x in g)
-
-    # warm: compile + the first few executions (program upload / icache warm
-    # costs ~0.5 s one-time on the tunnel backend)
-    for i in range(3):
-        l, gsum = jax.block_until_ready(fwd_bwd(means - i * 1e-5, colors,
-                                                opac))
-    iters = 20 if on_tpu else 2
-    # vary inputs per iteration: the TPU tunnel caches identical executions
-    t0 = time.time()
-    for i in range(1, iters + 1):
-        l, gsum = fwd_bwd(means + i * 1e-5, colors, opac)
-    jax.block_until_ready((l, gsum))
-    dt = (time.time() - t0) / iters
+    jax.block_until_ready(loop(means, colors, opac))
+    dt = float("inf")
+    for trial in range(3 if on_tpu else 1):
+        t0 = time.time()
+        jax.block_until_ready(loop(means + trial * 1e-6, colors, opac))
+        dt = min(dt, (time.time() - t0) / iters)
     mpix_s = W * H / dt / 1e6
     baseline_a100 = 25.0
     print(json.dumps({

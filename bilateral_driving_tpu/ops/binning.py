@@ -143,18 +143,18 @@ def tiles_of_keys(key_s, n_tiles: int):
 
 
 def tile_ranges(tile_s, m_total, n_tiles: int, isect_capacity: int):
-    """Per-tile (start, count) in the sorted buffer: first sorted index per
-    tile via a unique-index boundary scatter + reverse-cummin fill."""
-    m_idx = jnp.arange(isect_capacity, dtype=jnp.int32)
+    """Per-tile (start, count) in the sorted buffer.
+
+    `tile_s` is non-decreasing (it derives from the sorted keys), so the
+    ranges are exactly `searchsorted(tile_s, [0..n_tiles])` — ~n_tiles
+    binary-search lanes instead of a capacity-sized boundary scatter +
+    reverse cummin (which cost ~5 ms at cap 2^20 on a v5e core)."""
     m_total_c = jnp.minimum(m_total, isect_capacity)
-    is_boundary = jnp.concatenate(
-        [jnp.ones((1,), bool), tile_s[1:] != tile_s[:-1]])
-    b_idx = jnp.where(is_boundary, tile_s, n_tiles + 1)
-    first = jnp.full((n_tiles + 1,), m_total_c, jnp.int32).at[b_idx].set(
-        m_idx, mode="drop", unique_indices=True)
-    starts = jax.lax.cummin(first[::-1])[::-1][:-1]
-    ends = jnp.concatenate([starts[1:], m_total_c[None]])
-    return starts, ends - starts
+    edges = jnp.searchsorted(
+        tile_s, jnp.arange(n_tiles + 1, dtype=tile_s.dtype), side="left"
+    ).astype(jnp.int32)
+    edges = jnp.minimum(edges, m_total_c)
+    return edges[:-1], edges[1:] - edges[:-1]
 
 
 class Intersections(NamedTuple):

@@ -1,0 +1,131 @@
+"""Cumulative-prefix profile of the rasterization pipeline (in-jit loops).
+
+Times pipeline prefixes P1..P5 inside one program each (tools/
+profile_stages.py method); successive differences attribute time to stages
+*in their real fusion context*, which standalone stage benches cannot
+(XLA fuses across stage boundaries).
+
+Usage: python tools/profile_prefix.py [--n 400000] [--cap 20] [--iters 6]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def time_loop(make_body, iters=6, trials=3):
+    @jax.jit
+    def loop():
+        def body(i, acc):
+            return acc + make_body(i)
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    jax.block_until_ready(loop())
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop())
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=400_000)
+    p.add_argument("--cap", type=int, default=20)
+    p.add_argument("--iters", type=int, default=6)
+    args = p.parse_args()
+
+    from bilateral_driving_tpu.core import gaussians as G
+    from bilateral_driving_tpu.ops import binning, pipeline, projection
+
+    W, H = 544, 320
+    n, cap, it = args.n, 2 ** args.cap, args.iters
+    key = jax.random.key(0)
+    ks = jax.random.split(key, 6)
+    means = jnp.concatenate([
+        jax.random.uniform(ks[0], (n, 2), minval=-2.0, maxval=2.0),
+        jax.random.uniform(ks[1], (n, 1), minval=1.5, maxval=40.0),
+    ], axis=1)
+    quats = G.random_quats(ks[2], n)
+    scales = jnp.exp(jax.random.uniform(ks[3], (n, 3), minval=-5.5,
+                                        maxval=-3.0))
+    opac = jax.random.uniform(ks[4], (n,), minval=0.3, maxval=0.9)
+    colors = jax.random.uniform(ks[5], (n, 3))
+    f = 0.8 * W
+    K = jnp.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    view = jnp.eye(4)
+    cfg = pipeline.RasterizeConfig(isect_capacity=cap)
+    ntx, nty = binning.num_tiles(W, H)
+    n_tiles = ntx * nty
+    sg = jax.lax.stop_gradient
+
+    def upto(i, stage: int, want_grad: bool = False):
+        """Reimplements pipeline.rasterize as a prefix up to `stage`."""
+        m = means + i * 1e-5
+
+        def run(m):
+            proj = projection.project(m, quats, scales, view, K, W, H)
+            if stage == 1:
+                return (jnp.sum(proj.means2d) + jnp.sum(proj.conics)
+                        + jnp.sum(proj.depths))
+            sp = binning.spans(sg(proj.means2d), sg(proj.radii),
+                               sg(proj.valid), W, H)
+            exp = binning.expand(sp.counts, cap)
+            if stage == 2:
+                return (jnp.sum(exp.g) + jnp.sum(exp.offsets)
+                        + jnp.sum(proj.means2d)).astype(jnp.float32)
+            op_eff = opac * proj.compensations * proj.valid.astype(
+                jnp.float32)
+            logop = jnp.log(jnp.maximum(op_eff, 1e-12))
+            table = jnp.concatenate([
+                sg(sp.tx0.astype(jnp.float32))[:, None],
+                sg(sp.ty0.astype(jnp.float32))[:, None],
+                sg(sp.span_w.astype(jnp.float32))[:, None],
+                sg(exp.offsets[:-1].astype(jnp.float32))[:, None],
+                proj.means2d, proj.conics, logop[:, None], colors,
+                proj.depths[:, None]], axis=1)
+            dummy = jnp.zeros((1, table.shape[1])).at[0, 9].set(-30.0)
+            table = jnp.concatenate([table, dummy])
+            key_s, gid_s, feats_s = pipeline._expand_sort(table, exp, ntx,
+                                                          n_tiles)
+            if stage == 3:
+                return jnp.sum(feats_s) + jnp.sum(gid_s).astype(jnp.float32)
+            tile_s = binning.tiles_of_keys(sg(key_s), n_tiles)
+            starts, counts = binning.tile_ranges(tile_s, sg(exp.num_isects),
+                                                 n_tiles, cap)
+            if stage == 4:
+                return (jnp.sum(starts) + jnp.sum(counts)).astype(
+                    jnp.float32) + jnp.sum(feats_s)
+            out = pipeline.rasterize(m, quats, scales, opac, colors, view,
+                                     K, W, H, cfg)
+            return (jnp.sum(out["rgb"]) + jnp.sum(out["alpha"])
+                    + jnp.sum(out["depth"]))
+
+        if want_grad:
+            l, g = jax.value_and_grad(run)(m)
+            return l + jnp.sum(g)
+        return run(m)
+
+    names = ["P1 projection", "P2 +spans/expand", "P3 +table+sortpayload",
+             "P4 +tile_ranges", "P5 full fwd"]
+    prev = 0.0
+    for s, name in enumerate(names, start=1):
+        dt = time_loop(lambda i, s=s: upto(i, s), iters=it)
+        print(f"{name:28s} {dt * 1e3:8.2f} ms   (+{(dt - prev) * 1e3:.2f})",
+              flush=True)
+        prev = dt
+
+    dt = time_loop(lambda i: upto(i, 5, want_grad=True), iters=it)
+    print(f"{'P6 full fwd+bwd (vjp)':28s} {dt * 1e3:8.2f} ms", flush=True)
+    dt = time_loop(lambda i: upto(i, 3, want_grad=True), iters=it)
+    print(f"{'P3 fwd+bwd (sort vjp)':28s} {dt * 1e3:8.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
