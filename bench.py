@@ -75,6 +75,9 @@ def main():
             return acc + l + sum(jnp.sum(x) for x in g)
         return jax.lax.fori_loop(0, iters, body, 0.0)
 
+    # the warmup run also flips the tunnel out of its fast mode (whose
+    # block_until_ready returns before execution completes), so the timed
+    # trials below are honest
     jax.block_until_ready(loop(means, colors, opac))
     dt = float("inf")
     for trial in range(3 if on_tpu else 1):

@@ -79,9 +79,16 @@ def main():
                                     in_test_set=True))
     frames = []
     base_batch = data.get_batch(0)
+    from ..data.scene import _pixel_viewdirs
+    K = np.asarray(base_batch["intrinsics"])
+    h, w = base_batch["pixels"].shape[:2]
     for c2w in traj:
         b = dict(base_batch)
         b["camera_to_world"] = jnp.asarray(c2w)
+        # sky is composited from per-pixel view directions — recompute for
+        # the novel pose (pixel_source.py:1070 novel-view render data)
+        b["viewdirs"] = jnp.asarray(_pixel_viewdirs(h, w, K,
+                                                    np.asarray(c2w)))
         o = fwd(state.params, full_statics, state.masks, b, state.step)
         frames.append(np.clip(np.asarray(o["rgb"]), 0, 1))
     render_loop.save_video(frames, os.path.join(out_dir, f"novel_{args.traj}.mp4"))

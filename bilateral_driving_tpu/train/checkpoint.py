@@ -31,6 +31,12 @@ def save_checkpoint(ckpt_dir: str, state: trainer_mod.TrainerState,
                     step: Optional[int] = None):
     step = int(state.step) if step is None else step
     path = os.path.abspath(os.path.join(ckpt_dir, f"checkpoint_{step}"))
+    if os.path.isdir(path):
+        # re-running a step (e.g. after a crash at the same step) should
+        # overwrite, not die: orbax refuses existing destinations
+        import shutil
+
+        shutil.rmtree(path)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, _mask_empty(jax.device_get(state)))
     return path

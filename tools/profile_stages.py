@@ -61,6 +61,12 @@ def main():
     from bilateral_driving_tpu.ops import binning, pipeline, projection
     from bilateral_driving_tpu.ops import rasterize_pallas as rp
 
+    # flip the tunnel out of its fast mode, whose block_until_ready returns
+    # before execution completes (ROADMAP round-2 finding #2)
+    junk = jnp.ones((64, 2 ** 20), jnp.float32)
+    jax.block_until_ready(jax.jit(lambda x: (x * 1.5 + 2.0).sum())(junk))
+    del junk
+
     W, H = 544, 320
     n = args.n
     cap = 2 ** args.cap
