@@ -48,6 +48,8 @@ p%128)).
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -90,6 +92,41 @@ def _dot(a, b, contract=((1,), (0,))):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+
+
+# prefix/suffix implementation for the within-chunk compositing order:
+#   "matmul" — strictly-triangular (CHUNK, CHUNK) @ (CHUNK, PIX) at HIGHEST
+#   "scan"   — exact f32 Hillis-Steele over sublanes on the VPU (pltpu.roll)
+# A/B'd on v5e at the training operating point; switchable for experiments.
+TRI_MODE = os.environ.get("BILATERAL_TRI_MODE", "scan")
+
+
+def _prefix_excl(x):
+    """Exclusive prefix sum along axis 0 of (CHUNK, PIX)."""
+    if TRI_MODE == "matmul":
+        return _dot(_tri(strict_lower=True), x)
+    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, x.shape[1]), 0)
+    s = jnp.where(row >= 1, pltpu.roll(x, 1, axis=0), 0.0)
+    k = 1
+    while k < CHUNK:
+        s = s + jnp.where(row >= k, pltpu.roll(s, k, axis=0), 0.0)
+        k *= 2
+    return s
+
+
+def _suffix_excl(x):
+    """Exclusive reverse prefix sum along axis 0 of (CHUNK, PIX)."""
+    if TRI_MODE == "matmul":
+        return _dot(_tri(strict_lower=False), x)
+    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, x.shape[1]), 0)
+    # pltpu.roll takes non-negative shifts; roll by CHUNK-k == roll by -k
+    s = jnp.where(row < CHUNK - 1, pltpu.roll(x, CHUNK - 1, axis=0), 0.0)
+    k = 1
+    while k < CHUNK:
+        s = s + jnp.where(row < CHUNK - k, pltpu.roll(s, CHUNK - k, axis=0),
+                          0.0)
+        k *= 2
+    return s
 
 
 def _chunk_terms(chunkf, ox, oy, start, end, cj, basis):
@@ -149,7 +186,6 @@ def _make_fwd_kernel(ntx: int):
         tc[...] = jnp.ones_like(tc)
 
         basis = _pixel_basis()
-        ltri = _tri(strict_lower=True)
 
         def dma(slot, c):
             return pltpu.make_async_copy(
@@ -205,7 +241,7 @@ def _make_fwd_kernel(ntx: int):
 
             alpha, l1m, colors, _, _ = _chunk_terms(
                 buf[slot], ox, oy, start, end, cj, basis)
-            s_excl = _dot(ltri, l1m)                        # (CHUNK, PIX)
+            s_excl = _prefix_excl(l1m)                      # (CHUNK, PIX)
             trans = jnp.exp(s_excl) * tc[...]               # bcast (1, PIX)
             w = alpha * trans
             acc[...] += _dot(colors, w)
@@ -304,8 +340,6 @@ def _make_bwd_kernel(ntx: int):
         oy = jnp.float32((t // ntx) * TILE)
 
         basis = _pixel_basis()
-        ltri = _tri(strict_lower=True)
-        utri = _tri(strict_lower=False)
         # cotangent rows pair with output channels [r, g, b, depth, alpha]
         g8 = gout_ref[0].reshape(C_PAD, _PIX)
 
@@ -365,14 +399,14 @@ def _make_bwd_kernel(ntx: int):
             chunkf = buf[slot]
             alpha, l1m, colors, mx, my = _chunk_terms(
                 chunkf, ox, oy, start, end, cj, basis)
-            s_excl = _dot(ltri, l1m)
+            s_excl = _prefix_excl(l1m)
             trans = jnp.exp(s_excl) * tc_in
             w = alpha * trans
 
             # G[k, p] = Σ_ch colors[ch, k] * g8[ch, p]
             G = _dot(colors, g8, contract=((0,), (0,)))    # (CHUNK, PIX)
             wG = w * G
-            suffix = _dot(utri, wG) + carry[...]
+            suffix = _suffix_excl(wG) + carry[...]
             one_m = jnp.maximum(1.0 - alpha, 1.0 - MAX_ALPHA)
             d_alpha = trans * G - suffix / one_m
             gate = (alpha > 0.0) & (alpha < MAX_ALPHA)
