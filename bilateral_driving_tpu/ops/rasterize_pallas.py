@@ -21,8 +21,10 @@ compositing as dense linear algebra so both passes run on the MXU:
   * α = exp(-σ′), σ′ = ½ dᵀΣ⁻¹d − log(opacity), a quadratic in pixel coords:
     evaluating a chunk is one (128, 8) @ (8, 1024) matmul of coefficients
     against a fixed pixel-monomial basis [x², y², xy, x, y, 1].
-  * Front-to-back transmittance is a prefix-sum of log(1-α): a strictly
-    lower-triangular (128, 128) @ (128, 1024) matmul in log space.
+  * Front-to-back transmittance is an exclusive prefix-product of (1-α):
+    a Hillis-Steele sublane scan on the VPU (exact f32, zero
+    transcendentals; the original log-space triangular-matmul path is kept
+    behind BILATERAL_TRI_MODE=matmul for A/B).
   * Channel accumulation is colorsᵀ (8, 128) @ w (128, 1024) — the constant
     "1" channel makes the same matmul produce the alpha image.
   * The forward *checkpoints each chunk's entry transmittance to HBM* and
@@ -101,15 +103,20 @@ def _dot(a, b, contract=((1,), (0,))):
 TRI_MODE = os.environ.get("BILATERAL_TRI_MODE", "scan")
 
 
-def _prefix_excl(x):
-    """Exclusive prefix sum along axis 0 of (CHUNK, PIX)."""
+def _chunk_transmittance(alpha):
+    """Exclusive within-chunk transmittance T[k] = prod_{j<k} (1 - alpha[j]).
+
+    Scan mode multiplies directly (zero transcendentals; ~128 f32 rounding
+    steps, rel err < 1e-5); matmul mode reproduces the original
+    exp(tri @ log1p(-alpha)) MXU path for A/B."""
     if TRI_MODE == "matmul":
-        return _dot(_tri(strict_lower=True), x)
-    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, x.shape[1]), 0)
-    s = jnp.where(row >= 1, pltpu.roll(x, 1, axis=0), 0.0)
+        return jnp.exp(_dot(_tri(strict_lower=True), jnp.log1p(-alpha)))
+    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, alpha.shape[1]), 0)
+    om = 1.0 - alpha
+    s = jnp.where(row >= 1, pltpu.roll(om, 1, axis=0), 1.0)
     k = 1
     while k < CHUNK:
-        s = s + jnp.where(row >= k, pltpu.roll(s, k, axis=0), 0.0)
+        s = s * jnp.where(row >= k, pltpu.roll(s, k, axis=0), 1.0)
         k *= 2
     return s
 
@@ -132,7 +139,7 @@ def _suffix_excl(x):
 def _chunk_terms(chunkf, ox, oy, start, end, cj, basis):
     """Shared per-chunk math from raw feature rows.
 
-    chunkf: (FEAT, CHUNK) raw rows. Returns (alpha, l1m, colors, mx, my)
+    chunkf: (FEAT, CHUNK) raw rows. Returns (alpha, colors, mx, my)
     with entries outside [start, end) masked to alpha = 0."""
     mx = chunkf[0:1, :] - ox
     my = chunkf[1:2, :] - oy
@@ -156,7 +163,7 @@ def _chunk_terms(chunkf, ox, oy, start, end, cj, basis):
     colors = jnp.concatenate([
         chunkf[6:10, :], jnp.ones((1, CHUNK), jnp.float32),
         jnp.zeros((3, CHUNK), jnp.float32)], axis=0)       # (8, CHUNK)
-    return alpha, jnp.log1p(-alpha), colors, mx, my
+    return alpha, colors, mx, my
 
 
 def _owned(cj, start, end):
@@ -239,14 +246,14 @@ def _make_fwd_kernel(ntx: int):
             def _():
                 tcs_ref[0, 1] = tc[...].reshape(C_PAD, CHUNK)
 
-            alpha, l1m, colors, _, _ = _chunk_terms(
+            alpha, colors, _, _ = _chunk_terms(
                 buf[slot], ox, oy, start, end, cj, basis)
-            s_excl = _prefix_excl(l1m)                      # (CHUNK, PIX)
-            trans = jnp.exp(s_excl) * tc[...]               # bcast (1, PIX)
+            t_excl = _chunk_transmittance(alpha)            # (CHUNK, PIX)
+            trans = t_excl * tc[...]                        # bcast (1, PIX)
             w = alpha * trans
             acc[...] += _dot(colors, w)
-            tc[...] *= jnp.exp(s_excl[CHUNK - 1:CHUNK, :]
-                               + l1m[CHUNK - 1:CHUNK, :])
+            tc[...] *= (t_excl[CHUNK - 1:CHUNK, :]
+                        * (1.0 - alpha[CHUNK - 1:CHUNK, :]))
 
             return c + 1, jnp.max(tc[...]) > STOP_T
 
@@ -397,10 +404,10 @@ def _make_bwd_kernel(ntx: int):
             tc_in = jnp.where(own, tct[slot].reshape(1, _PIX), tc_side)
 
             chunkf = buf[slot]
-            alpha, l1m, colors, mx, my = _chunk_terms(
+            alpha, colors, mx, my = _chunk_terms(
                 chunkf, ox, oy, start, end, cj, basis)
-            s_excl = _prefix_excl(l1m)
-            trans = jnp.exp(s_excl) * tc_in
+            t_excl = _chunk_transmittance(alpha)
+            trans = t_excl * tc_in
             w = alpha * trans
 
             # G[k, p] = Σ_ch colors[ch, k] * g8[ch, p]
