@@ -50,17 +50,35 @@ def project(
     eps2d: float = EPS2D,
     fov_extent: tuple | None = None,
 ) -> Projected:
-    from ..core import transforms
-
     R = viewmat[:3, :3]
     t = viewmat[:3, 3]
     mean_c = means @ R.T + t                      # (N, 3)
     z = mean_c[..., 2]
 
-    # 3D covariance in camera frame: R_cam (R_q S) (R_q S)^T R_cam^T
-    R_q = transforms.quat_to_rotmat(quats)        # (N, 3, 3)
-    M = R @ (R_q * scales[..., None, :])          # (N, 3, 3) = R_cam R_q S
-    cov_c = M @ M.swapaxes(-1, -2)
+    # 3D covariance in camera frame: R_cam (R_q S) (R_q S)^T R_cam^T.
+    # Fully component-wise (N,)-array arithmetic: batched (N, 3, 3)
+    # dot_generals lower poorly on TPU (tiny contraction dims) and their
+    # VJP materializes several (N, 3, 3) intermediates; the scalar-R_cam x
+    # per-Gaussian expansion fuses into one elementwise pass instead.
+    q = quats / jnp.sqrt(jnp.maximum(
+        jnp.sum(quats * quats, axis=-1, keepdims=True), 1e-16))
+    qw, qx, qy, qz = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    # R_q rows (vanilla quat->rotmat, core/transforms.py:28-43)
+    r = [
+        [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz),
+         2 * (qx * qz + qw * qy)],
+        [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz),
+         2 * (qy * qz - qw * qx)],
+        [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx),
+         1 - 2 * (qx * qx + qy * qy)],
+    ]
+    s3 = [scales[..., 0], scales[..., 1], scales[..., 2]]
+    # M = R_cam (R_q S): M[i][j] = sum_k R[i, k] r[k][j] s[j]
+    M = [[sum(R[i, k] * r[k][j] for k in range(3)) * s3[j]
+          for j in range(3)] for i in range(3)]
+
+    def covc(i, j):
+        return sum(M[i][k] * M[j][k] for k in range(3))
 
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     zs = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
@@ -87,8 +105,8 @@ def project(
 
     # cov2d = J cov_c J^T, expanded (avoids materializing (N, 2, 3) matmuls
     # as generic dots — XLA fuses this elementwise form well)
-    c00, c01, c02 = cov_c[..., 0, 0], cov_c[..., 0, 1], cov_c[..., 0, 2]
-    c11, c12, c22 = cov_c[..., 1, 1], cov_c[..., 1, 2], cov_c[..., 2, 2]
+    c00, c01, c02 = covc(0, 0), covc(0, 1), covc(0, 2)
+    c11, c12, c22 = covc(1, 1), covc(1, 2), covc(2, 2)
     a = j00 * j00 * c00 + 2.0 * j00 * j02 * c02 + j02 * j02 * c22
     b = j00 * j11 * c01 + j00 * j12 * c02 + j02 * j11 * c12 + j02 * j12 * c22
     c = j11 * j11 * c11 + 2.0 * j11 * j12 * c12 + j12 * j12 * c22

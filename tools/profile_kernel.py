@@ -15,20 +15,31 @@ import jax
 import jax.numpy as jnp
 
 
-def time_loop(make_body, iters=6, trials=2):
-    @jax.jit
-    def loop():
-        def body(i, acc):
-            return acc + make_body(i)
-        return jax.lax.fori_loop(0, iters, body, 0.0)
+def time_loop(make_body, iters=8, trials=3):
+    """Marginal per-iteration time: runs the loop at `iters` and `2*iters`
+    trip counts and divides the difference — the tunnel charges a fixed
+    ~24 ms per program execution (ROADMAP finding #2), which this cancels.
+    make_body(i) must return a scalar depending on i (no hoisting/CSE)."""
 
-    jax.block_until_ready(loop())
-    best = float("inf")
+    def build(n):
+        @jax.jit
+        def loop():
+            def body(i, acc):
+                return acc + make_body(i)
+            return jax.lax.fori_loop(0, n, body, 0.0)
+        return loop
+
+    lo, hi = build(iters), build(2 * iters)
+    jax.block_until_ready((lo(), hi()))
+    best_lo = best_hi = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
-        jax.block_until_ready(loop())
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
+        jax.block_until_ready(lo())
+        best_lo = min(best_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(hi())
+        best_hi = min(best_hi, time.perf_counter() - t0)
+    return max(best_hi - best_lo, 1e-9) / iters
 
 
 def main():
