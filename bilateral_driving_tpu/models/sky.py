@@ -125,8 +125,17 @@ def sample_cubemap(base: jax.Array, dirs: jax.Array) -> jax.Array:
     return out
 
 
-def envlight_color(params, viewdirs: jax.Array) -> jax.Array:
+def envlight_color(params, viewdirs: jax.Array,
+                   interpret=None) -> jax.Array:
     """Sky RGB from world view directions (modules.py:193-206; note: no
-    sigmoid/clamp, matching the reference)."""
+    sigmoid/clamp, matching the reference).
+
+    `interpret` not None selects the Pallas window-splat backward
+    (ops/cubemap.py — XLA's scatter-add VJP costs ~28 ms/step at 544x320);
+    None keeps the pure-XLA autodiff path (small evals, unit tests)."""
     d = viewdirs @ TO_OPENGL.T
-    return sample_cubemap(params["base"], d)
+    if interpret is None:
+        return sample_cubemap(params["base"], d)
+    from ..ops import cubemap
+
+    return cubemap.sample_splat_vjp(params["base"], d, interpret)

@@ -278,7 +278,8 @@ def forward(cfg: TrainerConfig, params, statics, masks, batch,
 
     # sky (base.py:489-497)
     if cfg.sky_model == "envlight":
-        rgb_sky = sky_mod.envlight_color(params["Sky"], batch["viewdirs"])
+        rgb_sky = sky_mod.envlight_color(params["Sky"], batch["viewdirs"],
+                                         interpret=cfg.interpret)
     elif cfg.sky_model == "mlp":
         rgb_sky = sky_mod.sky_mlp_color(params["Sky"], batch["viewdirs"],
                                         batch["img_idx"],
