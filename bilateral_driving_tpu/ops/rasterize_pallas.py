@@ -147,14 +147,15 @@ def _chunk_terms(chunkf, ox, oy, start, end, cj, basis):
     b = chunkf[3:4, :]
     c = chunkf[4:5, :]
     lo = chunkf[5:6, :]
-    zero2 = jnp.zeros((2, CHUNK), jnp.float32)
-    coef = jnp.concatenate([
+    coefs = [
         0.5 * a, 0.5 * c, b,
         -(a * mx + b * my), -(c * my + b * mx),
         0.5 * a * mx * mx + 0.5 * c * my * my + b * mx * my - lo,
-        zero2,
-    ], axis=0)                                             # (8, CHUNK)
-    sigma = _dot(coef, basis, contract=((0,), (0,)))       # (CHUNK, PIX)
+    ]                                                      # 6 x (1, CHUNK)
+    # sigma as 6 broadcast FMAs on the VPU: an MXU dot with contraction
+    # dim 8 wastes 94% of the systolic array (and 6x that at HIGHEST)
+    sigma = sum(cf.reshape(CHUNK, 1) * basis[k:k + 1, :]
+                for k, cf in enumerate(coefs))             # (CHUNK, PIX)
     alpha = jnp.minimum(jnp.exp(-sigma), MAX_ALPHA)
     alpha = jnp.where(alpha >= ALPHA_THRESH, alpha, 0.0)
     gidx = cj * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
@@ -410,8 +411,11 @@ def _make_bwd_kernel(ntx: int):
             trans = t_excl * tc_in
             w = alpha * trans
 
-            # G[k, p] = Σ_ch colors[ch, k] * g8[ch, p]
-            G = _dot(colors, g8, contract=((0,), (0,)))    # (CHUNK, PIX)
+            # G[k, p] = Σ_ch colors[ch, k] * g8[ch, p] — 5 live channel
+            # rows (rgb, depth, alpha) as VPU broadcast FMAs (contract-8
+            # MXU dots waste the array; see _chunk_terms)
+            G = sum(colors[ch].reshape(CHUNK, 1) * g8[ch:ch + 1, :]
+                    for ch in range(5))                    # (CHUNK, PIX)
             wG = w * G
             suffix = _suffix_excl(wG) + carry[...]
             one_m = jnp.maximum(1.0 - alpha, 1.0 - MAX_ALPHA)
