@@ -207,10 +207,12 @@ def _pixel_viewdirs(h, w, K, c2w):
 
 def _sparse_depth_downsample(depth, factor):
     """Sparse-aware max-pool downsample preserving lidar hits
-    (pixel_source.py:77-92)."""
+    (pixel_source.py:77-92). Output dims ceil(h/f) to match `[::f]`
+    strided image slicing on odd sizes."""
     h, w = depth.shape
-    h2, w2 = h // factor, w // factor
-    d = depth[:h2 * factor, :w2 * factor].reshape(h2, factor, w2, factor)
+    h2, w2 = -(-h // factor), -(-w // factor)
+    d = np.pad(depth, ((0, h2 * factor - h), (0, w2 * factor - w)))
+    d = d.reshape(h2, factor, w2, factor)
     return d.max(axis=(1, 3))
 
 

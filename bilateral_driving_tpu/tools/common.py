@@ -12,6 +12,12 @@ import os
 from typing import Dict, Optional, Tuple
 
 import jax
+
+# honor JAX_PLATFORMS=cpu even when a sitecustomize pinned the platform
+# config before env vars were read (same dance as tests/conftest.py)
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
