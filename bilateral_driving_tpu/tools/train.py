@@ -38,6 +38,9 @@ def parse_args():
     p.add_argument("--run_name", default="run")
     p.add_argument("--resume_from", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--enable_wandb", action="store_true",
+                   help="log to wandb when the package is available "
+                        "(offline mode without an API key)")
     # multi-chip / multi-host (parallel/{data_parallel,distributed}.py —
     # new capability over the reference's single-GPU assert, base.py:411)
     p.add_argument("--data_parallel", type=int, default=0,
@@ -160,6 +163,8 @@ def main():
     from ..utils import tb as tb_lib
     from ..utils import visualization as vis_lib
     tbw = tb_lib.TBWriter(os.path.join(log_dir, "tb"))
+    wb = tb_lib.WandbWriter(args.enable_wandb, args.project, args.run_name,
+                            config=dict(cfg), log_dir=log_dir)
     if vis_freq > 0:
         os.makedirs(os.path.join(log_dir, "images"), exist_ok=True)
 
@@ -185,6 +190,9 @@ def main():
         tbw.scalars({f"image_metrics/{k}": v for k, v in agg.items()}, step)
         tbw.image("image_rendering/gt_rgbs_render_rgbs_depths_error", grid,
                   step)
+        wb.scalars({f"image_metrics/{k}": v for k, v in agg.items()}, step)
+        wb.image("image_rendering/gt_rgbs_render_rgbs_depths_error", grid,
+                 step)
 
     def refresh_error_buffer(step: int) -> None:
         """Recompute every train image's error at low res so rarely-sampled
@@ -252,6 +260,7 @@ def main():
             mlogger.update(**m)
             mlogger.dump(step)
             tbw.scalars({k: float(v) for k, v in metrics.items()}, step)
+            wb.scalars({k: float(v) for k, v in metrics.items()}, step)
             logger.info(
                 f"step {step}/{max_steps} " +
                 " ".join(f"{k}={v:.4f}" for k, v in m.items()) +
@@ -280,6 +289,7 @@ def main():
             with open(os.path.join(log_dir, "test_metrics.json"), "w") as f:
                 json.dump(agg, f, indent=2)
     tbw.close()
+    wb.close()
 
 
 if __name__ == "__main__":

@@ -124,3 +124,60 @@ def save_png(img: np.ndarray, path: str) -> None:
 
     arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
     Image.fromarray(arr).save(path)
+
+
+# --------------------------------------------------------------------------
+# 3-D instance-box overlays (reference utils/visualization.py bbox drawing +
+# generate_lidar radar bbox corners)
+# --------------------------------------------------------------------------
+
+# box corner ordering: +-x, +-y, +-z in object frame; 12 wireframe edges
+_BOX_EDGES = [(0, 1), (0, 2), (1, 3), (2, 3),
+              (4, 5), (4, 6), (5, 7), (6, 7),
+              (0, 4), (1, 5), (2, 6), (3, 7)]
+
+
+def box_corners(o2w: np.ndarray, size) -> np.ndarray:
+    """(8, 3) world-space corners of an (l, w, h) box at obj-to-world o2w."""
+    l, w, h = [float(x) for x in size]
+    local = np.array([[sx * l / 2, sy * w / 2, sz * h / 2]
+                      for sz in (-1, 1) for sy in (-1, 1) for sx in (-1, 1)])
+    return local @ np.asarray(o2w)[:3, :3].T + np.asarray(o2w)[:3, 3]
+
+
+def _draw_line(img, p0, p1, color):
+    h, w = img.shape[:2]
+    n = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1]), 1)) + 1
+    xs = np.linspace(p0[0], p1[0], n).round().astype(int)
+    ys = np.linspace(p0[1], p1[1], n).round().astype(int)
+    keep = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    img[ys[keep], xs[keep]] = color
+
+
+def draw_boxes(img: np.ndarray, o2ws, sizes, w2c: np.ndarray,
+               K: np.ndarray, color=(0.0, 1.0, 0.0)) -> np.ndarray:
+    """Overlay wireframe 3-D boxes on a float [0,1] HWC image.
+
+    o2ws (I, 4, 4), sizes (I, 3) in (l, w, h); edges behind the camera are
+    clipped at z=0.1. Returns a copy."""
+    out = np.array(img, copy=True)
+    color = np.asarray(color, out.dtype)
+    K = np.asarray(K)
+    for o2w, size in zip(np.asarray(o2ws), np.asarray(sizes)):
+        pts = box_corners(o2w, size)
+        cam = pts @ np.asarray(w2c)[:3, :3].T + np.asarray(w2c)[:3, 3]
+        for a, b in _BOX_EDGES:
+            pa, pb = cam[a], cam[b]
+            if pa[2] <= 0.1 and pb[2] <= 0.1:
+                continue
+            # clip the behind-camera end to the z=0.1 plane
+            if pa[2] <= 0.1 or pb[2] <= 0.1:
+                t = (0.1 - pa[2]) / (pb[2] - pa[2])
+                mid = pa + t * (pb - pa)
+                pa, pb = (mid, pb) if pa[2] <= 0.1 else (pa, mid)
+            ua = (K[0, 0] * pa[0] / pa[2] + K[0, 2],
+                  K[1, 1] * pa[1] / pa[2] + K[1, 2])
+            ub = (K[0, 0] * pb[0] / pb[2] + K[0, 2],
+                  K[1, 1] * pb[1] / pb[2] + K[1, 2])
+            _draw_line(out, ua, ub, color)
+    return out

@@ -69,3 +69,24 @@ def test_tb_writer(tmp_path):
     w2 = tb_lib.TBWriter(None)
     w2.scalars({"x": 1}, 0)
     w2.close()
+
+
+def test_draw_boxes_overlay():
+    """3-D wireframe box projection + behind-camera clipping
+    (reference utils/visualization.py bbox drawing)."""
+    import numpy as np
+
+    from bilateral_driving_tpu.utils import visualization as vz
+
+    img = np.zeros((60, 80, 3), np.float32)
+    K = np.array([[60.0, 0, 40], [0, 60.0, 30], [0, 0, 1]])
+    o2w = np.eye(4)
+    o2w[:3, 3] = [0, 0, 6]
+    out = vz.draw_boxes(img, [o2w], [[2.0, 1.5, 1.2]], np.eye(4), K)
+    assert (out.sum(-1) > 0).sum() > 50          # wireframe painted
+    assert img.sum() == 0                         # input untouched
+    # fully behind the camera -> nothing drawn, no crash
+    o2w_back = np.eye(4)
+    o2w_back[:3, 3] = [0, 0, -6]
+    out2 = vz.draw_boxes(img, [o2w_back], [[2.0, 1.5, 1.2]], np.eye(4), K)
+    assert out2.sum() == 0
