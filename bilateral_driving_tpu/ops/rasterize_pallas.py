@@ -65,6 +65,7 @@ STOP_T = 1e-4        # early-termination transmittance threshold
 ALPHA_THRESH = 1.0 / 255.0
 MAX_ALPHA = 0.999
 _PIX = TILE * TILE   # 1024
+TC_ROWS = _PIX // CHUNK   # transmittance-checkpoint row count per tile
 
 
 def _pixel_basis():
@@ -233,7 +234,7 @@ def _make_fwd_kernel(ntx: int):
             def _():
                 dma_tc(slot, fc + c - 2).wait()
 
-            tcw[slot] = tc[...].reshape(C_PAD, CHUNK)
+            tcw[slot] = tc[...].reshape(TC_ROWS, CHUNK)
 
             @pl.when(own)
             def _():
@@ -241,11 +242,11 @@ def _make_fwd_kernel(ntx: int):
 
             @pl.when(jnp.logical_not(own) & (c == 0))
             def _():
-                tcs_ref[0, 0] = tc[...].reshape(C_PAD, CHUNK)
+                tcs_ref[0, 0] = tc[...].reshape(TC_ROWS, CHUNK)
 
             @pl.when(jnp.logical_not(own) & (c > 0))
             def _():
-                tcs_ref[0, 1] = tc[...].reshape(C_PAD, CHUNK)
+                tcs_ref[0, 1] = tc[...].reshape(TC_ROWS, CHUNK)
 
             alpha, colors, _, _ = _chunk_terms(
                 buf[slot], ox, oy, start, end, cj, basis)
@@ -300,7 +301,8 @@ def rasterize_fwd(feats, tile_starts, tile_counts, width, height, *,
                          lambda t, *_: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, 2, C_PAD, CHUNK), lambda t, *_: (t, 0, 0, 0),
+            pl.BlockSpec((1, 2, TC_ROWS, CHUNK),
+                         lambda t, *_: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
@@ -308,7 +310,7 @@ def rasterize_fwd(feats, tile_starts, tile_counts, width, height, *,
             pltpu.VMEM((C_PAD, _PIX), jnp.float32),   # acc
             pltpu.VMEM((1, _PIX), jnp.float32),       # transmittance carry
             pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),
-            pltpu.VMEM((2, C_PAD, CHUNK), jnp.float32),  # tc write buffers
+            pltpu.VMEM((2, TC_ROWS, CHUNK), jnp.float32),  # tc write buffers
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -319,8 +321,10 @@ def rasterize_fwd(feats, tile_starts, tile_counts, width, height, *,
         out_shape=(
             jax.ShapeDtypeStruct((n_tiles, C_PAD, _PIX // CHUNK, CHUNK),
                                  jnp.float32),
-            jax.ShapeDtypeStruct((cap // CHUNK, C_PAD, CHUNK), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 2, C_PAD, CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((cap // CHUNK, TC_ROWS, CHUNK),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 2, TC_ROWS, CHUNK),
+                                 jnp.float32),
             jax.ShapeDtypeStruct((n_tiles,), jnp.int32),
         ),
         interpret=interpret,
@@ -493,7 +497,8 @@ def rasterize_bwd(feats, tile_starts, tile_counts, n_live, tc_ckpt, tc_side,
                          lambda t, *_: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),      # gout
             pl.BlockSpec(memory_space=pltpu.HBM),       # tc_ckpt
-            pl.BlockSpec((1, 2, C_PAD, CHUNK), lambda t, *_: (t, 0, 0, 0),
+            pl.BlockSpec((1, 2, TC_ROWS, CHUNK),
+                         lambda t, *_: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),      # tc_side
             pl.BlockSpec(memory_space=pltpu.HBM),       # dfeats_init
         ],
@@ -505,7 +510,7 @@ def rasterize_bwd(feats, tile_starts, tile_counts, n_live, tc_ckpt, tc_side,
         scratch_shapes=[
             pltpu.VMEM((1, _PIX), jnp.float32),         # carry R
             pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),  # feats read buffers
-            pltpu.VMEM((2, C_PAD, CHUNK), jnp.float32),  # tc read buffers
+            pltpu.VMEM((2, TC_ROWS, CHUNK), jnp.float32),  # tc read buffers
             pltpu.VMEM((2, FEAT, CHUNK), jnp.float32),  # grad write buffers
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
