@@ -81,7 +81,13 @@ def project(
         return sum(M[i][k] * M[j][k] for k in range(3))
 
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
-    zs = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    # clamp z to the near plane for ALL projection math: a gaussian at
+    # z ~ 0 makes rz ~ 1e8, overflows a*c to inf, det = inf - inf = NaN —
+    # and `where(det <= 0, 1, det)` does NOT stop NaN, whose VJP poisons
+    # the parameter gradients even at zero cotangent (observed as one
+    # behind-camera gaussian NaN'ing training at step 1). Culled gaussians
+    # just get finite bogus projections, like gsplat's compaction.
+    zs = jnp.maximum(z, near_plane)
     rz = 1.0 / zs
 
     # frustum-clamped point for the Jacobian (gsplat persp_proj).

@@ -187,6 +187,18 @@ def main():
         vis_lib.save_png(grid, os.path.join(log_dir, "images",
                                             f"step_{step}.png"))
         agg = render_loop.aggregate_metrics(res["metrics"])
+        # sampler error-buffer heatmap (reference buffer-map videos,
+        # tools/train.py:320-350): per-image sampling weight as a
+        # (num_cams, frames) image
+        wts = sampler._weights(train_indices)
+        hm = np.zeros(num_images, np.float32)
+        hm[np.asarray(train_indices)] = wts / max(wts.max(), 1e-12)
+        ncam = max(int(cfg.get_path("data.num_cams", 1)), 1)
+        rows = -(-num_images // ncam)
+        hm = np.pad(hm, (0, rows * ncam - num_images)).reshape(rows, ncam).T
+        hm_img = np.repeat(np.repeat(hm, 8, 0), 8, 1)[..., None].repeat(3, -1)
+        tbw.image("sampler/error_buffer", hm_img, step)
+        wb.image("sampler/error_buffer", hm_img, step)
         tbw.scalars({f"image_metrics/{k}": v for k, v in agg.items()}, step)
         tbw.image("image_rendering/gt_rgbs_render_rgbs_depths_error", grid,
                   step)

@@ -192,3 +192,37 @@ class TestBinning:
             # depth-sorted within tile
             d = np.asarray(proj.depths)[seg]
             assert (np.diff(d) >= -1e-6).all()
+
+
+def test_grads_finite_with_behind_camera_gaussian():
+    """A gaussian at camera-space z ~ 0 must not poison gradients: the
+    unclamped Jacobian overflowed a*c to inf, det = inf - inf = NaN, and
+    `where(det <= 0, 1, det)`'s VJP propagates NaN even at zero cotangent
+    (found by a real-chip training run NaN'ing at step 1)."""
+    import jax
+
+    from bilateral_driving_tpu.ops import pipeline
+
+    n = 50
+    key = jax.random.key(11)
+    means = jnp.concatenate([
+        jax.random.uniform(key, (n, 2), minval=-1.0, maxval=1.0),
+        jax.random.uniform(jax.random.fold_in(key, 1), (n, 1),
+                           minval=2.0, maxval=6.0)], axis=1)
+    # one gaussian exactly on the camera plane, one behind
+    means = means.at[7, 2].set(1e-9).at[19, 2].set(-3.0)
+    quats = jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1))
+    scales = jnp.full((n, 3), 0.05)
+    opac = jnp.full((n,), 0.5)
+    colors = jax.random.uniform(jax.random.fold_in(key, 2), (n, 3))
+    K = jnp.array([[70.0, 0, 40], [0, 70.0, 28], [0, 0, 1.0]])
+    cfg = pipeline.RasterizeConfig(isect_capacity=2 ** 12, interpret=True)
+
+    def loss(m, q, s, o, c):
+        out = pipeline.rasterize(m, q, s, o, c, jnp.eye(4), K, 80, 56, cfg)
+        return jnp.sum(out["rgb"] ** 2) + jnp.sum(out["alpha"])
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+        means, quats, scales, opac, colors)
+    for g in grads:
+        assert bool(jnp.all(jnp.isfinite(g))), "non-finite gradient"
