@@ -49,6 +49,10 @@ def _filter2d(img, size=11, sigma=1.5):
     (H-10, H) @ img @ (W, W-10) rides the MXU and is ~100x cheaper.
     """
     h, w = img.shape[:2]
+    # images smaller than the window (coarse res-schedule stages on small
+    # scenes) shrink the window to the image instead of a negative "valid"
+    # extent; matches SSIM-with-smaller-window semantics
+    size = min(size, h, w)
     ah = jnp.asarray(_ssim_band_np(h, size, sigma))
     aw = jnp.asarray(_ssim_band_np(w, size, sigma))
     # HIGHEST: sigma terms subtract mu^2 — one-pass bf16 matmuls (the TPU
