@@ -8,8 +8,11 @@
 
 Separate stages (as in the reference):
     --process_keys sky_masks   runs SegFormer over already-converted scenes
-SMPL tracking (4D-Humans/PHALP) is an external pipeline whose output
-(humanpose/smpl.pkl) the data layer consumes directly.
+    --process_keys humanpose   matches external 4D-Humans/PHALP track pkls
+                               (humanpose/<cam>.pkl) to GT pedestrian tracks
+                               and writes humanpose/smpl.pkl (smpl_track.py;
+                               the monocular predictor itself needs external
+                               checkpoints and runs offline)
 """
 from __future__ import annotations
 
@@ -36,7 +39,7 @@ def parse_args():
 def main():
     args = parse_args()
     keys = set(args.process_keys)
-    convert_keys = keys - {"sky_masks"}
+    convert_keys = keys - {"sky_masks", "humanpose"}
 
     outputs = []
     if convert_keys:
@@ -72,6 +75,35 @@ def main():
         for out in targets:
             n = masks.extract_scene_masks(out, model_proc=mp)
             print(f"sky masks: {n} images in {out}")
+
+    if "humanpose" in keys:
+        import os
+
+        from PIL import Image
+
+        from . import smpl_track
+
+        targets = outputs or [
+            os.path.join(args.target_dir, f"{sid:03d}")
+            for sid in args.scene_ids]
+        for out in targets:
+            cams = sorted({
+                int(f.split(".")[0])
+                for f in os.listdir(os.path.join(out, "intrinsics"))})
+            sizes = {}
+            for cam in cams:
+                img_dir = os.path.join(out, "images")
+                first = sorted(f for f in os.listdir(img_dir)
+                               if f.endswith(f"_{cam}.jpg")
+                               or f.endswith(f"_{cam}.png"))[0]
+                with Image.open(os.path.join(img_dir, first)) as im:
+                    sizes[cam] = im.size
+            gt = smpl_track.gt_tracks_from_scene(out, cams, sizes)
+            num_frames = max((max(v) + 1 for v in
+                              (d.keys() for d in gt.values()) if v),
+                             default=0)
+            path = smpl_track.process_scene(out, gt, num_frames)
+            print(f"humanpose: {path}")
 
 
 if __name__ == "__main__":

@@ -108,6 +108,12 @@ def main():
             out = fwd(params, full, masks, b, jnp.asarray(0))
             b["pixels"] = jnp.clip(out["rgb"], 0, 1)
             batches.append(b)
+        # perturb the optimized state so the run starts AWAY from the GT
+        # optimum (otherwise loss/PSNR are flat and the smoke proves nothing)
+        pk = jax.random.split(key, 1)[0]
+        params = jax.tree.map(
+            lambda p: p + 0.05 * jax.random.normal(pk, p.shape, p.dtype)
+            if p.dtype in (jnp.float32, jnp.bfloat16) else p, params)
         get_batch = lambda idx, downscale=1: batches[idx]
         train_indices = np.arange(num_frames)
         num_images = num_frames
