@@ -206,14 +206,19 @@ def _pixel_viewdirs(h, w, K, c2w):
 
 
 def _sparse_depth_downsample(depth, factor):
-    """Sparse-aware max-pool downsample preserving lidar hits
-    (pixel_source.py:77-92). Output dims ceil(h/f) to match `[::f]`
-    strided image slicing on odd sizes."""
+    """Sparse-aware downsample: mean of the lidar HITS in each block
+    (zeros excluded), zero where a block has no hit — exactly the
+    hit-count-normalized area interpolation of the reference
+    (pixel_source.py:77-92 sparse_lidar_map_downsampler). Output dims
+    ceil(h/f) to match `[::f]` strided image slicing on odd sizes."""
     h, w = depth.shape
     h2, w2 = -(-h // factor), -(-w // factor)
     d = np.pad(depth, ((0, h2 * factor - h), (0, w2 * factor - w)))
     d = d.reshape(h2, factor, w2, factor)
-    return d.max(axis=(1, 3))
+    hits = (d > 1e-3).sum(axis=(1, 3))
+    total = d.sum(axis=(1, 3))
+    return np.where(hits > 0, total / np.maximum(hits, 1),
+                    0.0).astype(depth.dtype)
 
 
 # --------------------------------------------------------------------------

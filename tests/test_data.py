@@ -334,3 +334,17 @@ class TestCommittedFixtures:
         np.testing.assert_allclose(aabb[1][0], front[:, 0].max() + 40.0,
                                    atol=1e-4)
         assert aabb[1][2] <= 20.0 and aabb[0][2] >= -5.0
+
+
+def test_sparse_depth_downsample_hit_mean():
+    """Block average over lidar HITS only (reference
+    pixel_source.py:77-92), zero for hitless blocks, ceil-sized output."""
+    from bilateral_driving_tpu.data.scene import _sparse_depth_downsample
+    d = np.zeros((5, 4), np.float32)
+    d[0, 0], d[1, 1] = 10.0, 40.0   # two hits in the top-left 2x2 block
+    d[4, 2] = 7.0                   # one hit in the ragged last row
+    out = _sparse_depth_downsample(d, 2)
+    assert out.shape == (3, 2)
+    np.testing.assert_allclose(out[0, 0], 25.0)   # mean of hits, not max
+    np.testing.assert_allclose(out[0, 1], 0.0)    # no hits -> 0
+    np.testing.assert_allclose(out[2, 1], 7.0)
