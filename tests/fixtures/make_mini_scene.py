@@ -44,6 +44,14 @@ def rot_z(a):
     return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
 
 
+# OpenCV camera axes (x right, y down, z forward) expressed in the ego frame
+# (x forward, y left, z up): cam z -> ego x, cam x -> ego -y, cam y -> ego -z
+# (nuscenes_sourceloader.py stores exactly this OpenCV cam-to-ego block).
+CAM_FWD = np.array([[0.0, 0.0, 1.0],
+                    [-1.0, 0.0, 0.0],
+                    [0.0, -1.0, 0.0]])
+
+
 def rng_image(rng, t, cam):
     base = rng.randint(0, 255, (H, W, 3), dtype=np.uint8)
     base[: H // 3] = [120 + 10 * t, 160, 220]          # "sky" band
@@ -62,12 +70,20 @@ def make_scene(root, style):
                   np.array([60.0 + cam, 60.0, W / 2, H / 2, *dist]))
 
     # poses: ego drives +x, cameras offset/rotated
-    cam_to_ego = {
-        0: np.block([[rot_z(0.0), np.array([[1.2], [0.0], [1.4]])],
-                     [np.zeros((1, 3)), np.ones((1, 1))]]),
-        1: np.block([[rot_z(0.6), np.array([[0.8], [0.5], [1.4]])],
-                     [np.zeros((1, 3)), np.ones((1, 1))]]),
-    }
+    # cameras LOOK somewhere sensible: front camera along ego +x, the second
+    # yawed 0.6 rad left — so lidar points actually project in-image and the
+    # depth-map path is exercised for real (an earlier fixture used bare
+    # rot_z rotations for the nuScenes style: OpenCV-z pointed at the sky
+    # and every depth map was 0). The waymo style stores NATIVE
+    # FLU-convention cam-to-ego (x forward) — the loader itself applies
+    # opencv_mat() — while the nuScenes style stores OpenCV cam-to-ego.
+    def c2e(yaw, t):
+        r = rot_z(yaw) if style == "ego_pose" else rot_z(yaw) @ CAM_FWD
+        return np.block([[r, np.asarray(t, float).reshape(3, 1)],
+                         [np.zeros((1, 3)), np.ones((1, 1))]])
+
+    cam_to_ego = {0: c2e(0.0, [1.2, 0.0, 1.4]),
+                  1: c2e(0.6, [0.8, 0.5, 1.4])}
     ego_poses = {}
     for t in FRAMES:
         e = np.eye(4)

@@ -325,6 +325,24 @@ class TestCommittedFixtures:
         np.testing.assert_allclose(data.lidar_points[1], expect_pts,
                                    atol=1e-4)
 
+    def test_lidar_depth_projection_real_hits(self):
+        """Every image of both committed layouts must receive projected
+        lidar depth (guards against convention bugs that silently zero the
+        depth-supervision path — an earlier fixture had sky-facing OpenCV
+        axes and 0 hits everywhere). The two layouts encode the SAME
+        geometry through different file conventions, so their per-image hit
+        counts must agree exactly."""
+        hits = {}
+        for name, ds in (("mini_scene_nuscenes", "nuscenes"),
+                         ("mini_scene_waymo", "waymo")):
+            d = scene.load_scene(os.path.join(FIXDIR, name), cameras=(0, 1),
+                                 dataset=ds)
+            hits[ds] = [int((np.asarray(
+                d.get_batch(i, 1)["lidar_depth_map"]) > 0).sum())
+                for i in range(d.num_images)]
+            assert min(hits[ds]) > 5, (name, hits[ds])
+        assert hits["nuscenes"] == hits["waymo"]
+
     def test_reference_aabb_semantics(self):
         data = scene.load_scene(
             os.path.join(FIXDIR, "mini_scene_nuscenes"), cameras=(0, 1),
