@@ -73,3 +73,69 @@ def lidar_from_depth(depth: np.ndarray, K: np.ndarray, c2w: np.ndarray,
     hit = (z > 0.1) & (z < max_range)
     pts_cam = dirs[hit] * (z[hit] / dirs[hit][:, 2])[:, None]
     return (pts_cam @ c2w[:3, :3].T + c2w[:3, 3]).astype(np.float32)
+
+
+def angular_subsample(points: np.ndarray, num_beams: int = 64,
+                      azimuth_bins: int = 512, every: int = 1,
+                      fov_half_deg: float = 45.0,
+                      elev_top_deg: float = 2.0) -> np.ndarray:
+    """Resample a point cloud onto an H-beam spinning-lidar angular grid,
+    keeping one return per (elevation, azimuth) cell and optionally every
+    `every`-th beam — the reference's beam-pattern sparsifier
+    (generate_lidar_from_depth.py:6-41 pto_ang_map, depth2lidar.py:41).
+
+    points: (N, C>=3) xyz[+extras] in the sensor frame. Returns (M, C)."""
+    pts = np.asarray(points)
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    d = np.maximum(np.sqrt(x * x + y * y + z * z), 1e-6)
+    r = np.maximum(np.sqrt(x * x + y * y), 1e-6)
+    dphi = np.radians(2 * fov_half_deg) / azimuth_bins
+    dtheta = np.radians(0.4 * 64.0 / num_beams)
+    phi = np.radians(fov_half_deg) - np.arcsin(y / r)
+    col = np.clip((phi / dphi).astype(np.int64), 0, azimuth_bins - 1)
+    theta = np.radians(elev_top_deg) - np.arcsin(z / d)
+    row = np.clip((theta / dtheta).astype(np.int64), 0, num_beams - 1)
+    # last point in each cell wins (matches the reference's overwrite)
+    grid = np.full((num_beams, azimuth_bins), -1, np.int64)
+    grid[row, col] = np.arange(pts.shape[0])
+    keep = grid[::every].reshape(-1)
+    return pts[keep[keep >= 0]]
+
+
+def export_box_corners(frame_idx: int, instances_info: dict,
+                       frame_instances: dict, world_to_sensor: np.ndarray,
+                       output_path: str = None,
+                       skip_ids=()) -> dict:
+    """Per-frame 3-D box corners in a sensor frame, as the radar-detection
+    JSON the reference emits (generate_radar_detection.py:7-60):
+    {obj_id: {"class_name", "bbox": 8x3 corners}}."""
+    import json
+    import os
+
+    out = {}
+    for obj_id in frame_instances.get(str(frame_idx), []):
+        obj_id = str(obj_id)
+        if obj_id in skip_ids:
+            continue
+        ann = instances_info[obj_id]["frame_annotations"]
+        if frame_idx not in ann["frame_idx"]:
+            continue
+        k = ann["frame_idx"].index(frame_idx)
+        o2w = np.asarray(ann["obj_to_world"][k], np.float64)
+        l, w, h = [float(v) for v in ann["box_size"][k]]
+        corners = np.array([[sx * l / 2, sy * w / 2, sz * h / 2]
+                            for sx in (-1, 1) for sy in (-1, 1)
+                            for sz in (-1, 1)])
+        cw = corners @ o2w[:3, :3].T + o2w[:3, 3]
+        cs = cw @ np.asarray(world_to_sensor)[:3, :3].T \
+            + np.asarray(world_to_sensor)[:3, 3]
+        out[obj_id] = {
+            "class_name": instances_info[obj_id].get("class_name", ""),
+            "bbox": cs.tolist(),
+        }
+    if output_path is not None:
+        os.makedirs(output_path, exist_ok=True)
+        with open(os.path.join(output_path, f"{frame_idx:03d}.json"),
+                  "w") as f:
+            json.dump(out, f, indent=2)
+    return out

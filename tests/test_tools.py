@@ -146,3 +146,41 @@ class TestRenderLoop:
         agg = render_loop.aggregate_metrics(ms)
         assert agg["psnr"] == 25.0
         assert "chamfer" not in agg
+
+
+def test_angular_subsample_beam_pattern():
+    """Dense shell -> one return per angular cell; `every` drops beams
+    (generate_lidar_from_depth.py pto_ang_map semantics)."""
+    from bilateral_driving_tpu.utils.export import angular_subsample
+    rng = np.random.RandomState(0)
+    az = rng.uniform(-0.7, 0.7, 20000)
+    el = rng.uniform(-0.4, 0.03, 20000)
+    d = rng.uniform(5, 40, 20000)
+    pts = np.stack([d * np.cos(el) * np.cos(az), d * np.cos(el) * np.sin(az),
+                    d * np.sin(el)], 1)
+    sub = angular_subsample(pts, num_beams=32, azimuth_bins=128)
+    assert 0 < sub.shape[0] <= 32 * 128
+    sub2 = angular_subsample(pts, num_beams=32, azimuth_bins=128, every=2)
+    assert sub2.shape[0] < sub.shape[0]
+    # subsampled points are a subset of the originals
+    assert ({tuple(np.round(p, 6)) for p in sub2}
+            <= {tuple(np.round(p, 6)) for p in pts})
+
+
+def test_export_box_corners(tmp_path):
+    from bilateral_driving_tpu.utils.export import export_box_corners
+    o2w = np.eye(4); o2w[:3, 3] = [10.0, 2.0, 0.5]
+    info = {"0": {"class_name": "vehicle.car", "frame_annotations": {
+        "frame_idx": [0, 1], "obj_to_world": [o2w.tolist()] * 2,
+        "box_size": [[4.0, 2.0, 1.5]] * 2}}}
+    frames = {"0": [0], "1": [0], "2": []}
+    w2s = np.eye(4); w2s[:3, 3] = [-10.0, 0.0, 0.0]
+    out = export_box_corners(1, info, frames, w2s, output_path=str(tmp_path))
+    c = np.asarray(out["0"]["bbox"])
+    assert c.shape == (8, 3)
+    np.testing.assert_allclose(c.mean(0), [0.0, 2.0, 0.5], atol=1e-9)
+    np.testing.assert_allclose(c.max(0) - c.min(0), [4.0, 2.0, 1.5])
+    import json, os
+    assert json.load(open(os.path.join(tmp_path, "001.json")))["0"][
+        "class_name"] == "vehicle.car"
+    assert export_box_corners(2, info, frames, w2s) == {}
