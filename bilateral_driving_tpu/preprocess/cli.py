@@ -98,10 +98,15 @@ def main():
                                or f.endswith(f"_{cam}.png"))[0]
                 with Image.open(os.path.join(img_dir, first)) as im:
                     sizes[cam] = im.size
-            gt = smpl_track.gt_tracks_from_scene(out, cams, sizes)
-            num_frames = max((max(v) + 1 for v in
-                              (d.keys() for d in gt.values()) if v),
-                             default=0)
+            # frame count from the scene's per-camera extrinsics (what
+            # load_scene does) — NOT the GT annotation span: tracker pkls
+            # have one entry per VIDEO frame, and a scene with no annotated
+            # pedestrians still has frames
+            num_frames = len([
+                f for f in os.listdir(os.path.join(out, "extrinsics"))
+                if f.endswith(f"_{cams[0]}.txt")])
+            gt = smpl_track.gt_tracks_from_scene(out, cams, sizes,
+                                                 num_frames=num_frames)
             path = smpl_track.process_scene(out, gt, num_frames)
             print(f"humanpose: {path}")
 

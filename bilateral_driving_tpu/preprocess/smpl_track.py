@@ -194,12 +194,8 @@ def _track_iou(a: Track, b: Track) -> float:
 
 def match_tracks(pred: Dict[int, Track],
                  gt: Dict[int, Track]) -> Dict[int, int]:
-    """GT tid -> best predicted tid by summed IoU; -1 when nothing overlaps.
-
-    Mirrors the reference's two-pass matching (pred->gt to find GT tracks
-    any predictor saw, then gt->pred for the final link;
-    postprocess.py:185-266) collapsed into the gt->pred pass, which is the
-    one whose result is consumed."""
+    """GT tid -> best predicted tid by mean-over-frames IoU; -1 when nothing
+    overlaps (the gt->pred pass, postprocess.py:229-266)."""
     out = {}
     for gt_tid, gt_tr in gt.items():
         best, best_iou = -1, 0.0
@@ -209,6 +205,51 @@ def match_tracks(pred: Dict[int, Track],
                 best, best_iou = pred_tid, v
         out[gt_tid] = best
     return out
+
+
+def valid_gt_tids(pred_by_cam: Dict[int, Dict[int, Track]],
+                  gt_by_cam: Dict[int, Dict[int, Track]]) -> set:
+    """GT tids that are some predicted track's BEST match in any camera
+    (the pred->gt prefilter, postprocess.py:185-227).
+
+    Without this pass, a GT track with any nonzero IoU against some
+    prediction would get linked even when that prediction's best match is a
+    different GT — two overlapping pedestrians could both receive the same
+    predicted pose track."""
+    valid = set()
+    for cam, preds in pred_by_cam.items():
+        gts = gt_by_cam.get(cam, {})
+        for pred_tid, pr in preds.items():
+            best, best_iou = None, 0.0
+            for gt_tid, gt_tr in gts.items():
+                v = _track_iou(pr, gt_tr)
+                if v > best_iou:
+                    best, best_iou = gt_tid, v
+            if best is not None:
+                valid.add(best)
+    return valid
+
+
+def detect_breaks_mask(must: np.ndarray) -> np.ndarray:
+    """Interior visibility gaps to back-fill (postprocess.py:79-101).
+
+    Marks every False run that lies strictly between two True frames —
+    except, mirroring the reference's quirk, a gap whose terminating True
+    is the final frame is left unfilled."""
+    must = np.asarray(must, bool)
+    n = must.shape[0]
+    fill = np.zeros(n, bool)
+    last_true = -1
+    in_gap = False
+    for i, v in enumerate(must):
+        if v:
+            if in_gap and last_true != -1 and i < n - 1:
+                fill[last_true + 1:i] = True
+            in_gap = False
+            last_true = i
+        elif last_true != -1:
+            in_gap = True
+    return fill
 
 
 # --------------------------------------------------------------------------
@@ -233,7 +274,8 @@ def merge_cameras(gt_by_cam: Dict[int, Dict[int, Track]],
     camera with the largest GT-box area among those with a matched estimate;
     finally interpolate frames no camera could pose."""
     cams = sorted(gt_by_cam.keys())
-    gt_tids = sorted({t for c in cams for t in gt_by_cam[c]})
+    keep = valid_gt_tids(pred_by_cam, gt_by_cam)
+    gt_tids = sorted({t for c in cams for t in gt_by_cam[c]} & keep)
     merged: Dict[int, MergedTrack] = {}
     for gt_tid in gt_tids:
         nc = len(cams)
@@ -308,6 +350,21 @@ def merge_cameras(gt_by_cam: Dict[int, Dict[int, Track]],
             prev = np.where(prev < 0, int(np.flatnonzero(any_match)[0]),
                             prev)
             rec.selected_cam_idx[need] = rec.selected_cam_idx[prev[need]]
+        # back-fill short all-camera visibility BREAKS (postprocess.py:
+        # 527-559): interior gaps in `must` become valid with interpolated
+        # poses, keeping tracks continuous through brief disappearances
+        fill = detect_breaks_mask(must)
+        if fill.any():
+            rec.smpl["global_orient"] = interpolate_gaps(
+                must, rec.smpl["global_orient"], rotations=True)
+            rec.smpl["body_pose"] = interpolate_gaps(
+                must, rec.smpl["body_pose"], rotations=True)
+            rec.smpl["betas"] = interpolate_gaps(must, rec.smpl["betas"])
+            cam_f = interpolate_gaps(
+                must, rec.selected_cam_idx.astype(np.float64))
+            rec.selected_cam_idx[fill] = np.round(cam_f[fill]).astype(
+                np.int64)
+            must = must | fill
         rec.valid_mask = must
         merged[gt_tid] = rec
     return merged
@@ -341,7 +398,8 @@ def write_smpl_pkl(merged: Dict[int, MergedTrack], scene_dir: str) -> str:
 
 def gt_tracks_from_scene(scene_dir: str, camera_list: List[int],
                          image_size: Dict[int, tuple],
-                         pedestrian_classes=("human.pedestrian",)) -> Dict:
+                         pedestrian_classes=("human.pedestrian",),
+                         num_frames: Optional[int] = None) -> Dict:
     """Project pedestrian 3-D boxes of a converted scene to per-camera 2-D
     GT tracks (the reference's `projection_fn`, humanpose_process.py:30-34).
 
@@ -353,9 +411,10 @@ def gt_tracks_from_scene(scene_dir: str, camera_list: List[int],
     with open(os.path.join(scene_dir, "instances",
                            "instances_info.json")) as f:
         info = json.load(f)
-    frames = sorted({fi for meta in info.values()
-                     for fi in meta["frame_annotations"]["frame_idx"]})
-    num_frames = (frames[-1] + 1) if frames else 0
+    if num_frames is None:
+        frames = sorted({fi for meta in info.values()
+                         for fi in meta["frame_annotations"]["frame_idx"]})
+        num_frames = (frames[-1] + 1) if frames else 0
     out = {}
     for cam in camera_list:
         K = np.loadtxt(os.path.join(scene_dir, "intrinsics", f"{cam}.txt"))
@@ -448,6 +507,14 @@ def process_scene(scene_dir: str, gt_raw_by_cam: Dict[int, Dict],
     cams = sorted(gt_raw_by_cam.keys())
     if pred_raw_by_cam is None:
         pred_raw_by_cam = run_tracker(scene_dir, cams)
+    for c in cams:
+        # parse_phalp_tracks enumerates raw frames positionally; a tracker
+        # pkl must cover the video exactly (reference match_and_postprocess
+        # asserts len(pred) == len(gt) the same way)
+        if len(pred_raw_by_cam[c]) != num_frames:
+            raise ValueError(
+                f"camera {c}: predicted track pkl has "
+                f"{len(pred_raw_by_cam[c])} frames, scene has {num_frames}")
     gt = {c: parse_phalp_tracks(gt_raw_by_cam[c], num_frames, False)
           for c in cams}
     pred = {c: parse_phalp_tracks(pred_raw_by_cam[c], num_frames, True)

@@ -110,10 +110,12 @@ def main():
             batches.append(b)
         # perturb the optimized state so the run starts AWAY from the GT
         # optimum (otherwise loss/PSNR are flat and the smoke proves nothing)
-        pk = jax.random.split(key, 1)[0]
-        params = jax.tree.map(
-            lambda p: p + 0.05 * jax.random.normal(pk, p.shape, p.dtype)
-            if p.dtype in (jnp.float32, jnp.bfloat16) else p, params)
+        leaves, treedef = jax.tree.flatten(params)
+        leaf_keys = jax.random.split(jax.random.fold_in(key, 1), len(leaves))
+        params = jax.tree.unflatten(treedef, [
+            p + 0.05 * jax.random.normal(k, p.shape, p.dtype)
+            if p.dtype in (jnp.float32, jnp.bfloat16) else p
+            for p, k in zip(leaves, leaf_keys)])
         get_batch = lambda idx, downscale=1: batches[idx]
         train_indices = np.arange(num_frames)
         num_images = num_frames

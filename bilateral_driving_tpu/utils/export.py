@@ -123,9 +123,14 @@ def export_box_corners(frame_idx: int, instances_info: dict,
         k = ann["frame_idx"].index(frame_idx)
         o2w = np.asarray(ann["obj_to_world"][k], np.float64)
         l, w, h = [float(v) for v in ann["box_size"][k]]
-        corners = np.array([[sx * l / 2, sy * w / 2, sz * h / 2]
-                            for sx in (-1, 1) for sy in (-1, 1)
-                            for sz in (-1, 1)])
+        # reference get_corners column order (visual_bbox_lidar.py:18-22):
+        # top-face ring (+h/2) then bottom-face ring, so downstream consumers
+        # that index specific corners/edges see the same geometry
+        corners = np.array([
+            [-l / 2, -l / 2, l / 2, l / 2, -l / 2, -l / 2, l / 2, l / 2],
+            [w / 2, -w / 2, -w / 2, w / 2, w / 2, -w / 2, -w / 2, w / 2],
+            [h / 2, h / 2, h / 2, h / 2, -h / 2, -h / 2, -h / 2, -h / 2],
+        ]).T
         cw = corners @ o2w[:3, :3].T + o2w[:3, 3]
         cs = cw @ np.asarray(world_to_sensor)[:3, :3].T \
             + np.asarray(world_to_sensor)[:3, 3]

@@ -122,3 +122,63 @@ def test_merge_and_roundtrip(tracked_scene, tmp_path):
 def test_run_tracker_gated(tmp_path):
     with pytest.raises(FileNotFoundError, match="4D-Humans"):
         st.run_tracker(str(tmp_path), [0])
+
+
+def test_pred2gt_prefilter(tracked_scene):
+    """A GT track whose only IoU overlaps come from predictions that match a
+    DIFFERENT GT better must be excluded (postprocess.py:185-227)."""
+    gt_raw, pr_raw = tracked_scene
+    # GT 11 half-overlaps pred 100's box, but pred 100's best match is GT 7
+    for fi in range(F):
+        gt_raw[0][fi]["extra_data"]["gt_track_id"].append(11)
+        gt_raw[0][fi]["gt_bbox"].append(
+            np.array([20.0, 10.0, 20.0, 40.0]))
+    gt = {c: st.parse_phalp_tracks(gt_raw[c], F, False) for c in (0, 1)}
+    pred = {c: st.parse_phalp_tracks(pr_raw[c], F, True) for c in (0, 1)}
+    assert st.valid_gt_tids(pred, gt) == {7, 9}
+    merged = st.merge_cameras(gt, pred, F)
+    assert set(merged.keys()) == {7, 9}
+
+
+def test_break_fill():
+    """Interior all-camera visibility gaps become valid with interpolated
+    poses (postprocess.py:527-559); a gap ending at the final frame stays
+    unfilled (reference quirk)."""
+    must = np.array([True, True, False, False, True, True])
+    np.testing.assert_array_equal(
+        st.detect_breaks_mask(must),
+        [False, False, True, True, False, False])
+    # gap terminated by the last frame -> NOT filled
+    must_tail = np.array([True, False, True])
+    np.testing.assert_array_equal(st.detect_breaks_mask(must_tail),
+                                  [False, False, False])
+
+    F2 = 6
+    box = [10.0, 10.0, 20.0, 40.0]
+    gt, pr = {}, {}
+    for fi in range(F2):
+        seen = fi not in (2, 3)  # two-frame interior break
+        gt[fi] = _gt_frame([7] if seen else [], [box] if seen else [])
+        pr[fi] = _pred_frame([100] if seen else [],
+                             [box] if seen else [],
+                             [0.2 * fi] if seen else [])
+    gtp = {0: st.parse_phalp_tracks(gt, F2, False)}
+    prp = {0: st.parse_phalp_tracks(pr, F2, True)}
+    merged = st.merge_cameras(gtp, prp, F2)
+    rec = merged[7]
+    assert rec.valid_mask.all()
+    # filled frames carry slerped orientations between theta=0.2 and 0.8
+    np.testing.assert_allclose(rec.smpl["global_orient"][2, 0],
+                               _rot_z(0.4), atol=1e-5)
+    np.testing.assert_allclose(rec.smpl["global_orient"][3, 0],
+                               _rot_z(0.6), atol=1e-5)
+    assert (rec.selected_cam_idx[rec.valid_mask] == 0).all()
+
+
+def test_process_scene_frame_count_mismatch(tracked_scene, tmp_path):
+    """Tracker pkls shorter/longer than the video must be rejected, not
+    silently mis-indexed (reference asserts len(pred)==len(gt))."""
+    gt_raw, pr_raw = tracked_scene
+    bad = {0: dict(list(pr_raw[0].items())[:-1]), 1: pr_raw[1]}
+    with pytest.raises(ValueError, match="frames"):
+        st.process_scene(str(tmp_path), gt_raw, F, pred_raw_by_cam=bad)

@@ -180,6 +180,14 @@ def test_export_box_corners(tmp_path):
     assert c.shape == (8, 3)
     np.testing.assert_allclose(c.mean(0), [0.0, 2.0, 0.5], atol=1e-9)
     np.testing.assert_allclose(c.max(0) - c.min(0), [4.0, 2.0, 1.5])
+    # exact reference corner ORDER (get_corners, visual_bbox_lidar.py:18-22):
+    # top-face ring then bottom-face ring — consumers index edges by position
+    local = c - np.array([0.0, 2.0, 0.5])
+    np.testing.assert_allclose(local, np.array([
+        [-2, -2, 2, 2, -2, -2, 2, 2],
+        [1, -1, -1, 1, 1, -1, -1, 1],
+        [0.75] * 4 + [-0.75] * 4,
+    ]).T, atol=1e-9)
     import json, os
     assert json.load(open(os.path.join(tmp_path, "001.json")))["0"][
         "class_name"] == "vehicle.car"
