@@ -37,7 +37,10 @@ class ImageSampler:
     def _weights(self, candidates: np.ndarray) -> np.ndarray:
         w = self.error_buffer[candidates].copy()
         if self.start_enhance_weight > 1.0:
-            frame_num = self.num_images // self.num_cams
+            # ceil: the reference truncates (pixel_source.py:919) but its
+            # num_imgs is always divisible by num_cams; ours may not be
+            # (synthetic mode), and a short ramp would index out of bounds
+            frame_num = -(-self.num_images // self.num_cams)
             n_boost = max(int(frame_num * 0.1), 1)
             ramp = np.concatenate([
                 np.linspace(self.start_enhance_weight, 1.0, n_boost),

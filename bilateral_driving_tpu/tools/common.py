@@ -24,12 +24,68 @@ import numpy as np
 from ..data import scene as scene_mod, synthetic
 from ..scene import smpl_model
 from ..train import density, setup, trainer
-from ..utils.config import ConfigDict
+from ..utils.config import ConfigDict, validate_keys
+
+
+def _leaves(*names):
+    return {n: True for n in names}
+
+
+# every key any CLI/builder consumes; validate_config rejects the rest so a
+# misspelled override fails loudly instead of silently training with defaults
+CONFIG_SCHEMA = {
+    "seed": True,
+    "dataset": True,
+    "trainer": _leaves(
+        "background_model", "use_rigid", "use_smpl", "use_deformable",
+        "sky_model", "affine_model", "use_camera_opt", "use_camera_perturb",
+        "use_voxel_deformer", "sh_degree", "sh_degree_interval",
+        "envlight_resolution", "max_steps", "ms_grid", "guidance_factor",
+        "bilateral_grid_shape"),
+    "render": _leaves("near_plane", "far_plane", "radius_clip", "antialiased",
+                      "isect_capacity"),
+    "losses": _leaves(
+        "rgb", "ssim", "mask", "mask_loss_type", "depth", "depth_loss_type",
+        "depth_inverse", "depth_normalize", "depth_reduction", "max_depth",
+        "lidar_w_decay", "affine", "affine_inverse", "opacity_entropy",
+        "inverse_depth_smoothness", "rigid_temporal", "smpl_joint_smooth"),
+    "background_reg": {"*": {"*": True}},
+    "smpl_reg": {"*": {"*": True}},
+    "density": {f: True for f in density.DensityConfig._fields},
+    "background_init": _leaves("num_lidar_samples", "num_near_pts",
+                               "num_far_pts", "capacity"),
+    "rigid_capacity": True,
+    "deformable_capacity": True,
+    "sampler": _leaves("buffer_ratio", "start_enhance_weight",
+                       "refresh_every", "refresh_downscale"),
+    "data": _leaves(
+        "dataset", "scene_dir", "cameras", "downscale", "test_image_stride",
+        "num_cams", "start_frame", "end_frame", "undistort", "ego_mask_dir",
+        "synthetic", "width", "height", "num_frames", "num_bg",
+        "bg_capacity"),
+    "pvg": _leaves("cycle_length", "time_interval", "betas_init",
+                   "enable_temporal_smoothing", "smooth_probability",
+                   "distribution_span"),
+    "smpl": _leaves("model_path"),
+    "logging": _leaves("log_every", "ckpt_every", "vis_freq"),
+    "res_schedule": _leaves("double_steps", "downscale_times"),
+    "optim": {"*": _leaves("lr", "lr_final", "warmup_steps")},
+}
+
+
+def validate_config(cfg: ConfigDict):
+    unknown = validate_keys(cfg, CONFIG_SCHEMA)
+    if unknown:
+        raise ValueError(
+            "unknown config keys (misspelled override?): "
+            + ", ".join(sorted(unknown)))
 
 
 def trainer_config_from(cfg: ConfigDict, num_images: int,
                         num_frames: int, scene_scale: float,
-                        interpret: bool = False) -> trainer.TrainerConfig:
+                        interpret: bool = False,
+                        scene_origin=(0.0, 0.0, 0.0)) -> trainer.TrainerConfig:
+    validate_config(cfg)
     t = cfg.get("trainer", {})
     losses = cfg.get("losses", {})
     dens = cfg.get("density", {})
@@ -84,6 +140,7 @@ def trainer_config_from(cfg: ConfigDict, num_images: int,
         w_smpl_joint_smooth=losses.get("smpl_joint_smooth", 0.0),
         density=den,
         scene_scale=scene_scale,
+        scene_origin=tuple(float(x) for x in scene_origin),
         max_steps=t.get("max_steps", 30000),
     )
     if "ms_grid" in t:
@@ -100,6 +157,20 @@ def trainer_config_from(cfg: ConfigDict, num_images: int,
     if sregs:
         kw["smpl_reg"] = tuple((k, tuple(v.items()))
                                for k, v in sregs.items())
+    optim = cfg.get("optim", None)
+    if optim:
+        # per-config lr-group overrides, mirroring the reference's per-model
+        # optim blocks (e.g. omnire_bilateral.yaml Affine all.lr=1e-5 vs the
+        # ms-bilateral grid schedule): group -> {lr, lr_final, warmup_steps}
+        default_lr = next(f for f in dataclasses.fields(trainer.TrainerConfig)
+                          if f.name == "lr").default
+        table = {e[0]: list(e[1:]) for e in default_lr}
+        for group, ov in optim.items():
+            base = table.get(group, [1e-3, None, 0])
+            table[group] = [ov.get("lr", base[0]),
+                            ov.get("lr_final", base[1]),
+                            ov.get("warmup_steps", base[2])]
+        kw["lr"] = tuple((k, *v) for k, v in table.items())
     return trainer.TrainerConfig(**kw)
 
 
@@ -147,8 +218,10 @@ def build_real_scene(key, cfg: ConfigDict, interpret=False):
         dataset=d.get("dataset", None),
         undistort=d.get("undistort", False),
         ego_mask_dir=d.get("ego_mask_dir", None))
+    aabb = data.aabb()
     tcfg = trainer_config_from(cfg, data.num_images, data.num_frames,
-                               data.scene_radius(), interpret)
+                               data.scene_radius(), interpret,
+                               scene_origin=0.5 * (aabb[0] + aabb[1]))
     params = setup.build_models(key, tcfg)
     masks, aux, statics = {}, {}, {}
 

@@ -91,6 +91,29 @@ def load_config(config_file: str, dataset_file: str | None = None,
     return apply_dotlist(cfg, list(overrides))
 
 
+def validate_keys(cfg: Dict, schema: Dict, path: str = "") -> List[str]:
+    """Return dotted paths of keys not covered by `schema`.
+
+    `schema` is a nested dict: value True (or a set member) = scalar leaf
+    allowed; nested dict = recurse; the special key "*" allows arbitrary
+    keys at that level (free-form sections like optim group names). The
+    reference's OmegaConf merge silently accepts unknown keys — a misspelled
+    override (`num_near_samples` vs `num_near_pts`) trains with defaults and
+    nobody notices; this beats that instead of matching it."""
+    unknown = []
+    for k, v in cfg.items():
+        if k in schema:
+            sub = schema[k]
+        elif "*" in schema:
+            sub = schema["*"]
+        else:
+            unknown.append(f"{path}{k}")
+            continue
+        if isinstance(sub, dict) and isinstance(v, dict):
+            unknown += validate_keys(v, sub, f"{path}{k}.")
+    return unknown
+
+
 def save_config(cfg: ConfigDict, path: str):
     def plain(x):
         if isinstance(x, dict):

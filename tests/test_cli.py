@@ -37,12 +37,12 @@ def test_train_cli_res_schedule(tmp_path):
         "--output_root", log_root, "--run_name", "ressched",
         f"data.scene_dir={scene_dir}",
         "data.num_cams=1", "data.cameras=[0]", "data.test_image_stride=3",
-        "trainer.max_steps=3", "trainer.isect_capacity=4096",
+        "trainer.max_steps=3", "render.isect_capacity=4096",
         "trainer.sh_degree=0", "trainer.envlight_resolution=16",
         "background_init.capacity=2048",
         "background_init.num_lidar_samples=500",
-        "background_init.num_near_samples=100",
-        "background_init.num_far_samples=100",
+        "background_init.num_near_pts=100",
+        "background_init.num_far_pts=100",
         "rigid_capacity=256",
         "res_schedule.double_steps=2", "res_schedule.downscale_times=1",
         "logging.ckpt_every=100000", "logging.vis_freq=0",

@@ -229,7 +229,7 @@ class TestDensity:
         params["log_scales"] = params["log_scales"].at[:32].set(jnp.log(0.5))
         stats = density.DensityStats(
             grad_norm=jnp.full(64, 10.0), vis_count=jnp.ones(64),
-            max_radii=jnp.zeros(64))
+            max_radii=jnp.zeros(64), t_grad=jnp.zeros(64))
         cfg = density.DensityConfig(refine_interval=10, warmup_steps=0,
                                     reset_alpha_interval=10000)
         p2, aux2, alive, touched, info = density.refine(
@@ -259,7 +259,7 @@ class TestDensity:
         params["log_scales"] = params["log_scales"].at[:32].set(jnp.log(0.5))
         stats = density.DensityStats(
             grad_norm=jnp.full(40, 10.0), vis_count=jnp.ones(40),
-            max_radii=jnp.zeros(40))
+            max_radii=jnp.zeros(40), t_grad=jnp.zeros(40))
         cfg = density.DensityConfig(refine_interval=10, warmup_steps=0,
                                     reset_alpha_interval=10000)
         _, _, alive, _, info = density.refine(
@@ -286,7 +286,7 @@ class TestDensity:
         pid = jnp.arange(64, dtype=jnp.int32) % 7
         stats = density.DensityStats(
             grad_norm=jnp.full(64, 10.0), vis_count=jnp.ones(64),
-            max_radii=jnp.zeros(64))
+            max_radii=jnp.zeros(64), t_grad=jnp.zeros(64))
         cfg = density.DensityConfig(refine_interval=10, warmup_steps=0,
                                     reset_alpha_interval=10000,
                                     n_split_samples=1)
@@ -297,3 +297,93 @@ class TestDensity:
         src_ids = np.asarray(pid[:32])
         child_ids = np.asarray(aux2["point_ids"])[child]
         assert set(child_ids).issubset(set(src_ids))
+
+    def _pvg_params(self, key, cap=64, n=32):
+        means = jax.random.normal(key, (n, 3)) * 0.1
+        colors = jax.random.uniform(key, (n, 3))
+        return setup.build_pvg_background(key, cap, means, colors,
+                                          beta_init=0.1)
+
+    def test_pvg_t_grad_splits_along_time(self):
+        """High |dL/dtau| + wide temporal extent -> split along time
+        (reference pvg.py:166-199,329-353): children perturb taus, spatial
+        scale stays when only t triggered, no_time_split keeps betas."""
+        key = jax.random.key(5)
+        params, mask = self._pvg_params(key)
+        # small spatial scales (no xyz densify), wide temporal extent
+        params["log_scales"] = jnp.full_like(params["log_scales"],
+                                             jnp.log(1e-4))
+        params["log_betas"] = params["log_betas"].at[:32].set(jnp.log(0.05))
+        params["taus"] = params["taus"].at[:32].set(0.3)
+        stats = density.DensityStats(
+            grad_norm=jnp.zeros(64), vis_count=jnp.ones(64),
+            max_radii=jnp.zeros(64),
+            t_grad=jnp.zeros(64).at[:16].set(10.0))  # only first 16 high-t
+        cfg = density.DensityConfig(refine_interval=10, warmup_steps=0,
+                                    reset_alpha_interval=10000,
+                                    densify_t_grad_thresh=0.002,
+                                    densify_t_size_thresh=0.01,
+                                    n_split_samples=1)
+        p2, _, alive, touched, info = density.refine(
+            key, params, {}, mask, stats, 200, 1.0, cfg,
+            pvg_cycle=0.2)
+        # high-t + small-spatial points both split (t) AND dup (xyz), exactly
+        # like the reference (dups_xyz = ~big & high_grads, high_grads
+        # includes high_t — pvg.py:165-201)
+        assert int(info["splits"]) == 16
+        assert int(info["dups"]) == 16
+        child = np.asarray(touched)
+        assert child.sum() == 32
+        # split children's taus moved off the parent value; dup children
+        # copy it exactly
+        child_taus = np.asarray(p2["taus"])[child]
+        assert (child_taus == 0.3).sum() == 16          # the dups
+        assert (~np.isclose(child_taus, 0.3)).sum() == 16  # the t-splits
+        # t-triggered split leaves child spatial scale untouched (dup copies
+        # may carry the post-split parent shrink)
+        ls = np.asarray(p2["log_scales"])[child]
+        assert np.all(np.isclose(ls, np.log(1e-4), rtol=1e-5)
+                      | np.isclose(ls, np.log(1e-4 / 1.6), rtol=1e-5))
+        # no_time_split (pvg.yaml): betas inherited unchanged
+        np.testing.assert_allclose(
+            np.asarray(jnp.exp(p2["log_betas"]))[child], 0.05, rtol=1e-5)
+
+    def test_pvg_t_grad_dup_when_narrow(self):
+        """High t-grad but temporal extent under densify_t_size_thresh ->
+        duplicate, not split (pvg.py:199-201)."""
+        key = jax.random.key(6)
+        params, mask = self._pvg_params(key)
+        params["log_scales"] = jnp.full_like(params["log_scales"],
+                                             jnp.log(1e-4))
+        params["log_betas"] = params["log_betas"].at[:32].set(jnp.log(0.005))
+        stats = density.DensityStats(
+            grad_norm=jnp.zeros(64), vis_count=jnp.ones(64),
+            max_radii=jnp.zeros(64),
+            t_grad=jnp.zeros(64).at[:16].set(10.0))
+        cfg = density.DensityConfig(refine_interval=10, warmup_steps=0,
+                                    reset_alpha_interval=10000,
+                                    densify_t_grad_thresh=0.002,
+                                    densify_t_size_thresh=0.01,
+                                    n_split_samples=1)
+        _, _, alive, touched, info = density.refine(
+            key, params, {}, mask, stats, 200, 1.0, cfg,
+            pvg_cycle=0.2)
+        assert int(info["splits"]) == 0
+        assert int(info["dups"]) == 16
+
+    def test_pvg_densify_until_num_points(self):
+        """Saturated PVG class stops growing (pvg.py:158-160)."""
+        key = jax.random.key(7)
+        params, mask = self._pvg_params(key)
+        params["log_betas"] = params["log_betas"].at[:32].set(jnp.log(0.05))
+        stats = density.DensityStats(
+            grad_norm=jnp.zeros(64), vis_count=jnp.ones(64),
+            max_radii=jnp.zeros(64), t_grad=jnp.full((64,), 10.0))
+        cfg = density.DensityConfig(refine_interval=10, warmup_steps=0,
+                                    reset_alpha_interval=10000,
+                                    densify_t_grad_thresh=0.002,
+                                    densify_until_num_points=8,
+                                    n_split_samples=1)
+        _, _, alive, touched, info = density.refine(
+            key, params, {}, mask, stats, 200, 1.0, cfg, pvg_cycle=0.2)
+        assert int(info["splits"]) == 0 and int(info["dups"]) == 0
