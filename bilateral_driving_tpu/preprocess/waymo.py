@@ -18,13 +18,25 @@ from __future__ import annotations
 
 import os
 import struct
+import zlib
 from typing import Iterator, List
 
 import numpy as np
 
+from . import waymo_lidar
+
 CAMERA_ORDER = [1, 2, 3, 4, 5]   # FRONT, FRONT_LEFT, FRONT_RIGHT, SIDE_L/R
 # waymo label types -> drivestudio class names (waymo_preprocess save_objects)
 LABEL_TO_CLASS = {1: "Car", 2: "Pedestrian", 4: "Cyclist"}
+# label type -> reference WAYMO_CLASSES name (waymo_preprocess.py:48-52)
+TYPE_TO_NAME = {0: "unknown", 1: "Vehicle", 2: "Pedestrian", 3: "Sign",
+                4: "Cyclist"}
+DYNAMIC_CLASS_SETS = {
+    "all": {"Vehicle", "Pedestrian", "Cyclist"},
+    "human": {"Pedestrian", "Cyclist"},
+    "vehicle": {"Vehicle"},
+}
+TOP_LIDAR = 1                     # dataset_pb2.LaserName.TOP
 
 
 def read_tfrecord(path: str) -> Iterator[bytes]:
@@ -55,7 +67,8 @@ def _require_proto():
 
 
 def convert_scene(data_root: str, target_dir: str, scene_idx: int,
-                  process_keys=("images", "calib", "lidar", "objects")
+                  process_keys=("images", "calib", "lidar", "dynamic_masks",
+                                "objects")
                   ) -> str:
     """Convert the scene_idx-th TFRecord under data_root."""
     dataset_pb2 = _require_proto()
@@ -77,6 +90,11 @@ def convert_scene(data_root: str, target_dir: str, scene_idx: int,
         np.savetxt(os.path.join(out, "ego_pose", f"{fi:03d}.txt"), v2w)
         if "images" in keys or "calib" in keys:
             _save_frame_cameras(frame, v2w, fi, out, keys)
+        if "lidar" in keys:
+            _save_frame_lidar(frame, dataset_pb2, fi, out)
+        if "dynamic_masks" in keys:
+            for class_valid in ("all", "human", "vehicle"):
+                _save_dynamic_masks(frame, fi, out, class_valid)
         if "objects" in keys:
             _collect_frame_objects(frame, v2w, fi, instances,
                                    frame_instances)
@@ -118,6 +136,119 @@ def _save_frame_cameras(frame, v2w, fi, out, keys):
             np.savetxt(os.path.join(out, "extrinsics",
                                     f"{fi:03d}_{ci}.txt"),
                        v2w @ cam2v @ opencv2cam)
+
+
+def _decode_matrix(compressed: bytes, msg) -> np.ndarray:
+    """ZLIB-compressed MatrixFloat/MatrixInt32 -> numpy (the devkit's
+    tf.io.decode_compressed + MatrixFloat.ParseFromString, in pure python)."""
+    msg.ParseFromString(zlib.decompress(compressed))
+    return np.array(msg.data, np.float32).reshape(list(msg.shape.dims))
+
+
+def _save_frame_lidar(frame, dataset_pb2, fi, out):
+    """First-return point cloud of all five lidars as the 14-column .bin the
+    data layer's waymo14 format reads (reference save_lidar,
+    waymo_preprocess.py:253-323): origins(3) points(3) flow(4) ground(1)
+    intensity(1) elongation(1) laser_id(1), in the frame's vehicle frame.
+
+    The TOP lidar applies the per-column rolling-shutter pixel pose. Scene
+    flow columns come from range_image_flow_compressed when present (the
+    `*_with_flow` data variant); otherwise flow xyz = 0 and class = -1
+    ("no-flow-label", same convention the reference documents at
+    waymo_preprocess.py:299-305)."""
+    frame_pose = np.array(frame.pose.transform, np.float64).reshape(4, 4)
+    top_pose = None
+    rows = []
+    calibs = {c.name: c for c in frame.context.laser_calibrations}
+    lasers = sorted(frame.lasers, key=lambda l: l.name)
+    for laser in lasers:
+        ri = laser.ri_return1
+        if not ri.range_image_compressed:
+            continue
+        img = _decode_matrix(ri.range_image_compressed,
+                             dataset_pb2.MatrixFloat())      # (H, W, 4)
+        if laser.name == TOP_LIDAR and ri.range_image_pose_compressed:
+            pose6 = _decode_matrix(ri.range_image_pose_compressed,
+                                   dataset_pb2.MatrixFloat())  # (H, W, 6)
+            top_pose = waymo_lidar.poses_from_6dof(pose6)
+        flow = None
+        if ri.range_image_flow_compressed:
+            flow = _decode_matrix(ri.range_image_flow_compressed,
+                                  dataset_pb2.MatrixFloat())  # (H, W, 4)
+
+        c = calibs[laser.name]
+        H, W = img.shape[0], img.shape[1]
+        if len(c.beam_inclinations):
+            incl = np.array(c.beam_inclinations, np.float64)
+        else:
+            incl = waymo_lidar.compute_inclination(
+                c.beam_inclination_min, c.beam_inclination_max, H)
+        incl = incl[::-1]                  # row 0 = top beam (devkit reverse)
+        extrinsic = np.array(c.extrinsic.transform, np.float64).reshape(4, 4)
+        pixel_pose = top_pose if laser.name == TOP_LIDAR else None
+        pts, origins = waymo_lidar.extract_point_cloud(
+            img[..., 0], extrinsic, incl, pixel_pose=pixel_pose,
+            frame_pose=frame_pose if pixel_pose is not None else None)
+        hit = img[..., 0] > 0
+        n = int(hit.sum())
+        if n == 0:
+            continue
+        f = np.full((n, 4), [0.0, 0.0, 0.0, -1.0], np.float32) \
+            if flow is None else flow[hit]
+        rows.append(np.column_stack([
+            origins[hit].astype(np.float32), pts[hit].astype(np.float32),
+            f.astype(np.float32),
+            np.zeros((n, 1), np.float32),          # ground, filled below
+            img[..., 1][hit], img[..., 2][hit],
+            np.full((n,), laser.name - 1, np.float32),
+        ]))
+    if not rows:
+        return
+    pc = np.concatenate(rows, axis=0)
+    pc[:, 10:11] = waymo_lidar.ground_mask(pc[:, 3:6]).astype(np.float32)
+    pc.astype(np.float32).tofile(os.path.join(out, "lidar", f"{fi:03d}.bin"))
+
+
+def _save_dynamic_masks(frame, fi, out, class_valid: str):
+    """Speed-thresholded 2-D box masks per camera (reference
+    save_dynamic_mask, waymo_preprocess.py:344-455): project each lidar
+    label's 3-D box corners into the image, draw its axis-aligned rectangle
+    at the label's speed, threshold at 1 m/s."""
+    from PIL import Image
+
+    valid = DYNAMIC_CLASS_SETS[class_valid]
+    mask_dir = os.path.join(out, "dynamic_masks", class_valid)
+    os.makedirs(mask_dir, exist_ok=True)
+    filter_available = any(l.num_top_lidar_points_in_box > 0
+                           for l in frame.laser_labels)
+    calibs = {c.name: c for c in frame.context.camera_calibrations}
+    for img in frame.images:
+        c = calibs[img.name]
+        boxes = []
+        for label in frame.laser_labels:
+            if TYPE_TO_NAME.get(label.type, "unknown") not in valid:
+                continue
+            b = label.box
+            if not b.ByteSize():
+                continue
+            if (filter_available and not label.num_top_lidar_points_in_box) \
+                    or (not filter_available
+                        and not label.num_lidar_points_in_box):
+                continue                   # likely fully occluded
+            speed = float(np.linalg.norm(
+                [label.metadata.speed_x, label.metadata.speed_y]))
+            corners = waymo_lidar.box_corners_3d(
+                [b.center_x, b.center_y, b.center_z],
+                [b.length, b.width, b.height], b.heading)
+            boxes.append((corners, speed))
+        mask = np.zeros((c.height, c.width), np.float32)
+        cam2v = np.array(c.extrinsic.transform, np.float64).reshape(4, 4)
+        waymo_lidar.draw_speed_mask(mask, boxes, cam2v,
+                                    np.array(c.intrinsic, np.float64))
+        png = ((mask > 1.0) * 255).astype(np.uint8)   # 1 m/s threshold
+        ci = img.name - 1
+        Image.fromarray(png, "L").save(
+            os.path.join(mask_dir, f"{fi:03d}_{ci}.png"))
 
 
 def _collect_frame_objects(frame, v2w, fi, instances, frame_instances):

@@ -235,3 +235,145 @@ def test_tfrecord_framing(tmp_path):
             f.write(r)
             f.write(b"\x00" * 4)
     assert list(waymo.read_tfrecord(str(path))) == recs
+
+
+class TestWaymoLidarMath:
+    """Devkit-free range-image math (preprocess/waymo_lidar.py) against
+    analytically-known geometry (reference waymo_utils.py:59-217 semantics)."""
+
+    def test_extract_point_cloud_identity_extrinsic(self):
+        from bilateral_driving_tpu.preprocess import waymo_lidar as wl
+
+        H, W = 4, 8
+        rng = np.full((H, W), 10.0)
+        incl = np.linspace(-0.3, 0.3, H)          # row 0 = lowest? pass as-is
+        pts, origins = wl.extract_point_cloud(rng, np.eye(4), incl)
+        # every point at range 10 from the origin
+        np.testing.assert_allclose(np.linalg.norm(pts, axis=-1), 10.0,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(origins, 0.0)
+        # z = r*sin(incl) per row
+        np.testing.assert_allclose(
+            pts[..., 2], np.broadcast_to(10.0 * np.sin(incl)[:, None],
+                                         (H, W)), rtol=1e-12)
+        # column 0 is azimuth just under +pi (x ~ -r*cos(incl), y ~ +eps),
+        # the devkit's right-to-left sweep
+        assert pts[1, 0, 0] < 0 and pts[1, 0, 1] > 0
+        # azimuth decreases with column index
+        az = np.arctan2(pts[1, :, 1], pts[1, :, 0])
+        assert np.all(np.diff(az) < 0)
+
+    def test_extrinsic_translation_and_yaw_correction(self):
+        from bilateral_driving_tpu.preprocess import waymo_lidar as wl
+
+        H, W = 2, 360
+        rng = np.ones((H, W))
+        incl = np.zeros(H)
+        yaw = 0.7
+        ext = np.eye(4)
+        c, s = np.cos(yaw), np.sin(yaw)
+        ext[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+        ext[:3, 3] = [1.0, 2.0, 3.0]
+        pts, origins = wl.extract_point_cloud(rng, ext, incl)
+        np.testing.assert_allclose(origins[0, 0], [1.0, 2.0, 3.0])
+        # azimuth correction cancels the extrinsic yaw: the set of world
+        # directions is the same ring regardless of sensor yaw
+        d = pts - origins
+        np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0,
+                                   rtol=1e-12)
+        ang = np.sort(np.arctan2(d[0, :, 1], d[0, :, 0]))
+        np.testing.assert_allclose(np.diff(ang), 2 * np.pi / W, rtol=1e-6)
+
+    def test_pixel_pose_identity_matches_plain(self):
+        from bilateral_driving_tpu.preprocess import waymo_lidar as wl
+
+        H, W = 4, 16
+        rng = np.random.RandomState(0).uniform(1, 50, (H, W))
+        incl = np.linspace(-0.3, 0.2, H)
+        ext = np.eye(4)
+        plain, _ = wl.extract_point_cloud(rng, ext, incl)
+        # pixel pose = frame pose = some rigid transform -> same vehicle pts
+        fp = wl.poses_from_6dof(np.array([0.1, -0.2, 0.3, 5.0, -1.0, 2.0]))
+        pp = np.broadcast_to(fp, (H, W, 4, 4))
+        with_pose, _ = wl.extract_point_cloud(rng, ext, incl,
+                                              pixel_pose=pp, frame_pose=fp)
+        np.testing.assert_allclose(with_pose, plain, atol=1e-9)
+
+    def test_poses_from_6dof_matches_euler(self):
+        from bilateral_driving_tpu.preprocess import waymo_lidar as wl
+
+        r, p, y = 0.3, -0.2, 1.1
+        T = wl.poses_from_6dof(np.array([r, p, y, 1, 2, 3]))
+        Rx = np.array([[1, 0, 0], [0, np.cos(r), -np.sin(r)],
+                       [0, np.sin(r), np.cos(r)]])
+        Ry = np.array([[np.cos(p), 0, np.sin(p)], [0, 1, 0],
+                       [-np.sin(p), 0, np.cos(p)]])
+        Rz = np.array([[np.cos(y), -np.sin(y), 0],
+                       [np.sin(y), np.cos(y), 0], [0, 0, 1]])
+        np.testing.assert_allclose(T[:3, :3], Rz @ Ry @ Rx, atol=1e-12)
+        np.testing.assert_allclose(T[:3, 3], [1, 2, 3])
+
+    def test_ground_mask_plane(self):
+        from bilateral_driving_tpu.preprocess import waymo_lidar as wl
+
+        rs = np.random.RandomState(1)
+        ground = np.column_stack([rs.uniform(-50, 50, 500),
+                                  rs.uniform(-50, 50, 500),
+                                  rs.normal(0, 0.05, 500)])
+        objects = np.column_stack([rs.uniform(-50, 50, 100),
+                                   rs.uniform(-50, 50, 100),
+                                   rs.uniform(1.0, 3.0, 100)])
+        pts = np.vstack([ground, objects])
+        m = wl.ground_mask(pts)[:, 0]
+        assert m[:500].mean() > 0.98          # ground found
+        assert m[500:].mean() < 0.02          # objects kept
+
+    def test_project_to_image_pinhole(self):
+        from bilateral_driving_tpu.preprocess import waymo_lidar as wl
+
+        # camera at vehicle origin, x forward (waymo cam axes), no distortion
+        intr = np.array([100.0, 100.0, 320.0, 240.0, 0, 0, 0, 0, 0])
+        cam2v = np.eye(4)
+        pts = np.array([[10.0, 0.0, 0.0],     # on axis -> principal point
+                        [10.0, -1.0, 0.0],    # right of axis (y left)
+                        [10.0, 0.0, 1.0],     # above axis (z up) -> smaller v
+                        [-5.0, 0.0, 0.0]])    # behind
+        uvo = wl.project_to_image(pts, cam2v, intr, 640, 480)
+        np.testing.assert_allclose(uvo[0, :2], [320.0, 240.0], atol=1e-9)
+        assert uvo[1, 0] > 320.0 and abs(uvo[1, 1] - 240) < 1e-9
+        assert uvo[2, 1] < 240.0
+        assert uvo[3, 2] == 0.0 and uvo[0, 2] == 1.0
+
+    def test_project_radial_distortion_direction(self):
+        from bilateral_driving_tpu.preprocess import waymo_lidar as wl
+
+        intr = np.array([100.0, 100.0, 320.0, 240.0, 0.1, 0, 0, 0, 0])
+        base = np.array([100.0, 100.0, 320.0, 240.0, 0, 0, 0, 0, 0])
+        p = np.array([[10.0, -3.0, 2.0]])
+        u0 = wl.project_to_image(p, np.eye(4), base, 640, 480)[0]
+        u1 = wl.project_to_image(p, np.eye(4), intr, 640, 480)[0]
+        # positive k1 pushes points outward from the principal point
+        r0 = np.hypot(u0[0] - 320, u0[1] - 240)
+        r1 = np.hypot(u1[0] - 320, u1[1] - 240)
+        assert r1 > r0
+
+    def test_box_corners_and_speed_mask(self):
+        from bilateral_driving_tpu.preprocess import waymo_lidar as wl
+
+        corners = wl.box_corners_3d([10.0, 0.0, 0.0], [4.0, 2.0, 1.5],
+                                    np.pi / 2)
+        # heading pi/2 swaps l<->w in x/y extents
+        assert np.isclose(corners[:, 0].max() - corners[:, 0].min(), 2.0)
+        assert np.isclose(corners[:, 1].max() - corners[:, 1].min(), 4.0)
+        assert np.isclose(corners[:, 2].max() - corners[:, 2].min(), 1.5)
+
+        intr = np.array([100.0, 100.0, 320.0, 240.0, 0, 0, 0, 0, 0])
+        mask = np.zeros((480, 640), np.float32)
+        wl.draw_speed_mask(mask, [(corners, 5.0)], np.eye(4), intr)
+        assert mask.max() == 5.0
+        assert (mask > 0).sum() > 100
+        # behind-camera box skipped entirely
+        behind = wl.box_corners_3d([-10.0, 0.0, 0.0], [4.0, 2.0, 1.5], 0.0)
+        m2 = np.zeros((480, 640), np.float32)
+        wl.draw_speed_mask(m2, [(behind, 5.0)], np.eye(4), intr)
+        assert m2.max() == 0.0
