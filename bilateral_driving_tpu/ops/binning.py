@@ -115,6 +115,20 @@ def expand(counts: jax.Array, isect_capacity: int) -> Expansion:
                      m_total > isect_capacity)
 
 
+def expand_light(counts: jax.Array, isect_capacity: int) -> Expansion:
+    """`expand` without the capacity-sized Gaussian-id fill (the Pallas
+    expansion kernel recovers ids in-kernel — ops/expand_pallas.py): only
+    the N-sized prefix offsets + totals. `g` is left empty (shape (0,))."""
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         scan_utils.cumsum(counts).astype(jnp.int32)])
+    m_total = offsets[-1]
+    return Expansion(jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.int32),
+                     jnp.minimum(offsets, isect_capacity),
+                     jnp.zeros((0,), bool), m_total,
+                     m_total > isect_capacity)
+
+
 def entry_tiles(g_tx0, g_ty0, g_sw, g_seg_start, m_idx, ntx: int):
     """Per-entry tile id from the gathered span columns (expansion order)."""
     k = m_idx - g_seg_start

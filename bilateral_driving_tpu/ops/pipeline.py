@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from . import binning, projection, scan_utils
+from . import binning, expand_pallas, projection, scan_utils
 from .binning import CHUNK, TILE, num_tiles
 from .rasterize_pallas import FEAT, rasterize_bwd, rasterize_fwd
 
@@ -52,6 +52,9 @@ class RasterizeConfig:
     # across bands. None = use the render extent.
     fov_extent: Optional[tuple] = struct.field(pytree_node=False,
                                                default=None)
+    # fused Pallas expansion kernel (ops/expand_pallas.py) with automatic
+    # XLA fallback on sparse tables; False forces the XLA path everywhere
+    pallas_expand: bool = struct.field(pytree_node=False, default=True)
 
 
 def isect_buffer_size(width: int, height: int, isect_capacity: int) -> int:
@@ -194,6 +197,69 @@ _expand_sort.defvjp(_expand_sort_fwd, _expand_sort_bwd)
 
 
 # --------------------------------------------------------------------------
+# round-3 path: fused Pallas expansion (ops/expand_pallas.py) feeding the
+# same payload-carrying lax.sort; VJP identical to _expand_sort's (unsort by
+# expansion index + per-Gaussian segment sums), just mapped to the
+# lane-major table layout
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _expand_sort_pallas(table_T, offsets, num_isects, cap, ntx, n_tiles,
+                        n_orig, interpret):
+    out, _ = _expand_sort_pallas_do(table_T, offsets, num_isects, cap, ntx,
+                                    n_tiles, n_orig, interpret)
+    return out
+
+
+def _expand_sort_pallas_do(table_T, offsets, num_isects, cap, ntx, n_tiles,
+                           n_orig, interpret):
+    key, gid, feats = expand_pallas.expand_gather(
+        table_T, offsets, num_isects, cap, ntx, n_tiles, n_orig,
+        interpret=interpret)
+    m_idx = jnp.arange(cap, dtype=jnp.int32)
+    ops = (key, gid, m_idx) + tuple(feats[i] for i in range(N_PAYLOAD))
+    sorted_ = jax.lax.sort(ops, dimension=0, num_keys=1, is_stable=False)
+    key_s, gid_s, eidx_s = sorted_[0], sorted_[1], sorted_[2]
+    feats_s = jnp.stack(sorted_[3:], axis=0)            # (N_PAYLOAD, cap)
+    return (key_s, gid_s, feats_s), eidx_s
+
+
+def _expand_sort_pallas_fwd(table_T, offsets, num_isects, cap, ntx, n_tiles,
+                            n_orig, interpret):
+    out, eidx_s = _expand_sort_pallas_do(table_T, offsets, num_isects, cap,
+                                         ntx, n_tiles, n_orig, interpret)
+    return out, (eidx_s, offsets, num_isects, table_T.shape)
+
+
+def _expand_sort_pallas_bwd(cap, ntx, n_tiles, n_orig, interpret, res, cots):
+    eidx_s, offsets, num_isects, tshape = res
+    _, _, d_feats_s = cots
+    # identical unsort + segment-sum as _expand_sort_bwd, but d_table is
+    # lane-major (TABLE_ROWS, N'): feature rows FEAT0..FEAT0+NFEAT get the
+    # per-Gaussian sums, integer/span rows stay zero
+    unsorted = jax.lax.sort(
+        (eidx_s,) + tuple(d_feats_s[i] for i in range(N_PAYLOAD)),
+        dimension=0, num_keys=1, is_stable=False)
+    d_exp = jnp.stack(unsorted[1:], axis=0)             # (N_PAYLOAD, cap)
+    valid = (jnp.arange(cap, dtype=jnp.int32) < num_isects)[None, :]
+    d_exp = jnp.where(valid, d_exp, 0.0)
+    cs = scan_utils.cumsum_rows(d_exp)
+    cs = jnp.concatenate([jnp.zeros((N_PAYLOAD, 1), cs.dtype), cs], axis=1)
+    seg = cs[:, offsets]                                # (C, N+1)
+    d_rows = seg[:, 1:] - seg[:, :-1]                   # (C, N)
+    n = d_rows.shape[1]
+    d_table = jnp.zeros(tshape, d_rows.dtype)
+    d_table = d_table.at[expand_pallas.FEAT0:
+                         expand_pallas.FEAT0 + N_PAYLOAD, :n].set(d_rows)
+    int_zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return d_table, int_zero(offsets), int_zero(num_isects)
+
+
+_expand_sort_pallas.defvjp(_expand_sort_pallas_fwd, _expand_sort_pallas_bwd)
+
+
+# --------------------------------------------------------------------------
 # public API
 # --------------------------------------------------------------------------
 
@@ -244,31 +310,54 @@ def rasterize(
 
     sp = binning.spans(sg(proj.means2d), sg(proj.radii), sg(proj.valid),
                        width, height)
-    exp = binning.expand(sp.counts, cap)
 
     op_eff = opacities * proj.compensations * proj.valid.astype(means.dtype)
     logop = jnp.log(jnp.maximum(op_eff, 1e-12))
 
-    table = jnp.concatenate(
-        [
-            sg(sp.tx0.astype(jnp.float32))[:, None],
-            sg(sp.ty0.astype(jnp.float32))[:, None],
-            sg(sp.span_w.astype(jnp.float32))[:, None],
-            sg(exp.offsets[:-1].astype(jnp.float32))[:, None],
-            proj.means2d,                    # 4:6 x, y
-            proj.conics,                     # 6:9 a, b, c
-            logop[:, None],                  # 9
-            colors,                          # 10:13
-            proj.depths[:, None],            # 13
-        ],
-        axis=1,
-    )
-    # dummy padding row: zero spans, -30 log-opacity (alpha below the 1/255
-    # gate for any plausible sigma)
-    dummy = jnp.zeros((1, table.shape[1]), table.dtype).at[0, 9].set(-30.0)
-    table = jnp.concatenate([table, dummy])
-
-    key_s, gid_s, feats_s = _expand_sort(table, exp, ntx, n_tiles)
+    if cfg.pallas_expand:
+        exp = binning.expand_light(sp.counts, cap)
+        table_T = jnp.stack(
+            [
+                sg(sp.tx0.astype(jnp.float32)),
+                sg(sp.ty0.astype(jnp.float32)),
+                sg(sp.span_w.astype(jnp.float32)),
+                sg(exp.offsets[:-1].astype(jnp.float32)),
+                proj.means2d[:, 0], proj.means2d[:, 1],       # 4:6 x, y
+                proj.conics[:, 0], proj.conics[:, 1],
+                proj.conics[:, 2],                            # 6:9 a, b, c
+                logop,                                        # 9
+                colors[:, 0], colors[:, 1], colors[:, 2],     # 10:13
+                proj.depths,                                  # 13
+                sg(jnp.arange(n, dtype=jnp.float32)),         # 14 orig id
+                jnp.zeros((n,), jnp.float32),                 # 15 pad
+            ],
+            axis=0,
+        )
+        key_s, gid_s, feats_s = _expand_sort_pallas(
+            table_T, exp.offsets, exp.num_isects, cap, ntx, n_tiles, n,
+            cfg.interpret)
+    else:
+        exp = binning.expand(sp.counts, cap)
+        table = jnp.concatenate(
+            [
+                sg(sp.tx0.astype(jnp.float32))[:, None],
+                sg(sp.ty0.astype(jnp.float32))[:, None],
+                sg(sp.span_w.astype(jnp.float32))[:, None],
+                sg(exp.offsets[:-1].astype(jnp.float32))[:, None],
+                proj.means2d,                    # 4:6 x, y
+                proj.conics,                     # 6:9 a, b, c
+                logop[:, None],                  # 9
+                colors,                          # 10:13
+                proj.depths[:, None],            # 13
+            ],
+            axis=1,
+        )
+        # dummy padding row: zero spans, -30 log-opacity (alpha below the
+        # 1/255 gate for any plausible sigma)
+        dummy = jnp.zeros((1, table.shape[1]),
+                          table.dtype).at[0, 9].set(-30.0)
+        table = jnp.concatenate([table, dummy])
+        key_s, gid_s, feats_s = _expand_sort(table, exp, ntx, n_tiles)
     tile_s = binning.tiles_of_keys(sg(key_s), n_tiles)
     starts, counts = binning.tile_ranges(tile_s, sg(exp.num_isects), n_tiles,
                                          cap)
