@@ -55,6 +55,9 @@ class RasterizeConfig:
     # fused Pallas expansion kernel (ops/expand_pallas.py) with automatic
     # XLA fallback on sparse tables; False forces the XLA path everywhere
     pallas_expand: bool = struct.field(pytree_node=False, default=True)
+    # opacity-aware effective-radius span tightening (output-exact under the
+    # kernel's 1/255 alpha gate; see rasterize())
+    tight_radius: bool = struct.field(pytree_node=False, default=True)
 
 
 def isect_buffer_size(width: int, height: int, isect_capacity: int) -> int:
@@ -152,7 +155,8 @@ def _expand_sort_do(table, exp: binning.Expansion, ntx, n_tiles):
     key = binning.pack_keys(tile, gt[:, 13], n_tiles, exp.entry_valid)
     ops = (key, exp.g, exp.m_idx) + tuple(
         gt[:, _COL_FEAT0 + i] for i in range(N_PAYLOAD))
-    sorted_ = jax.lax.sort(ops, dimension=0, num_keys=1, is_stable=False)
+    # gid tie-break = gsplat stable-radix order (see _expand_sort_pallas_do)
+    sorted_ = jax.lax.sort(ops, dimension=0, num_keys=2, is_stable=False)
     key_s, gid_s, eidx_s = sorted_[0], sorted_[1], sorted_[2]
     feats_s = jnp.stack(sorted_[3:], axis=0)            # (N_PAYLOAD, cap)
     return (key_s, gid_s, feats_s), eidx_s
@@ -217,29 +221,36 @@ def _expand_sort_pallas_do(table_T, offsets, num_isects, cap, ntx, n_tiles,
     key, gid, feats = expand_pallas.expand_gather(
         table_T, offsets, num_isects, cap, ntx, n_tiles, n_orig,
         interpret=interpret)
-    m_idx = jnp.arange(cap, dtype=jnp.int32)
-    ops = (key, gid, m_idx) + tuple(feats[i] for i in range(N_PAYLOAD))
-    sorted_ = jax.lax.sort(ops, dimension=0, num_keys=1, is_stable=False)
-    key_s, gid_s, eidx_s = sorted_[0], sorted_[1], sorted_[2]
-    feats_s = jnp.stack(sorted_[3:], axis=0)            # (N_PAYLOAD, cap)
-    return (key_s, gid_s, feats_s), eidx_s
+    # num_keys=2: gid tie-break reproduces gsplat's STABLE radix order for
+    # entries whose truncated depth bits collide (expansion enumerates
+    # Gaussians in id order, so stability == ascending id within a tile)
+    ops = (key, gid) + tuple(feats[i] for i in range(N_PAYLOAD))
+    sorted_ = jax.lax.sort(ops, dimension=0, num_keys=2, is_stable=False)
+    key_s, gid_s = sorted_[0], sorted_[1]
+    feats_s = jnp.stack(sorted_[2:], axis=0)            # (N_PAYLOAD, cap)
+    return (key_s, gid_s, feats_s), gid_s
 
 
 def _expand_sort_pallas_fwd(table_T, offsets, num_isects, cap, ntx, n_tiles,
                             n_orig, interpret):
-    out, eidx_s = _expand_sort_pallas_do(table_T, offsets, num_isects, cap,
-                                         ntx, n_tiles, n_orig, interpret)
-    return out, (eidx_s, offsets, num_isects, table_T.shape)
+    out, gid_s = _expand_sort_pallas_do(table_T, offsets, num_isects, cap,
+                                        ntx, n_tiles, n_orig, interpret)
+    return out, (gid_s, offsets, num_isects, table_T.shape)
 
 
 def _expand_sort_pallas_bwd(cap, ntx, n_tiles, n_orig, interpret, res, cots):
-    eidx_s, offsets, num_isects, tshape = res
+    gid_s, offsets, num_isects, tshape = res
     _, _, d_feats_s = cots
-    # identical unsort + segment-sum as _expand_sort_bwd, but d_table is
-    # lane-major (TABLE_ROWS, N'): feature rows FEAT0..FEAT0+NFEAT get the
-    # per-Gaussian sums, integer/span rows stay zero
+    # segment-sum per Gaussian: re-sorting the cotangents by Gaussian id
+    # reproduces the expansion grouping (within-segment order is irrelevant
+    # to a sum, so no expansion index needs to ride the forward sort —
+    # measured identical sort cost, one payload cheaper fwd,
+    # tools/profile_segsum.py). Invalid entries carry gid n_orig and zero
+    # cotangents (kernel masks out-of-range lanes), landing past
+    # offsets[-1]; d_table is lane-major (TABLE_ROWS, N'): feature rows
+    # FEAT0..FEAT0+NFEAT get the per-Gaussian sums, span rows stay zero
     unsorted = jax.lax.sort(
-        (eidx_s,) + tuple(d_feats_s[i] for i in range(N_PAYLOAD)),
+        (gid_s,) + tuple(d_feats_s[i] for i in range(N_PAYLOAD)),
         dimension=0, num_keys=1, is_stable=False)
     d_exp = jnp.stack(unsorted[1:], axis=0)             # (N_PAYLOAD, cap)
     valid = (jnp.arange(cap, dtype=jnp.int32) < num_isects)[None, :]
@@ -308,11 +319,26 @@ def rasterize(
     ntx, nty = num_tiles(width, height)
     n_tiles = ntx * nty
 
-    sp = binning.spans(sg(proj.means2d), sg(proj.radii), sg(proj.valid),
-                       width, height)
-
     op_eff = opacities * proj.compensations * proj.valid.astype(means.dtype)
     logop = jnp.log(jnp.maximum(op_eff, 1e-12))
+
+    radii, valid = sg(proj.radii), sg(proj.valid)
+    if cfg.tight_radius:
+        # Opacity-aware effective radius: pixels farther than
+        # r_eff = sigma_max * sqrt(2 ln(255 op_eff)) have
+        # alpha <= op_eff exp(-d^2 / (2 v1)) < 1/255 and are zeroed by the
+        # kernel's alpha gate (rasterize_pallas.ALPHA_THRESH), so shrinking
+        # the 3-sigma AABB (gsplat radius, projection.py) to
+        # min(3 sigma, r_eff) is output- and gradient-exact while cutting
+        # intersections sharply at training opacities (~28% at op 0.1).
+        ln_gate = jnp.log(255.0 * jnp.maximum(sg(op_eff), 1e-12))
+        sigma_max = radii.astype(jnp.float32) / 3.0
+        r_eff = jnp.ceil(sigma_max * jnp.sqrt(2.0 * jnp.maximum(ln_gate, 0.0)))
+        radii = jnp.minimum(radii, r_eff.astype(jnp.int32))
+        radii = jnp.where(ln_gate > 0.0, radii, 0)
+        valid = valid & (radii > 0)
+
+    sp = binning.spans(sg(proj.means2d), radii, valid, width, height)
 
     if cfg.pallas_expand:
         exp = binning.expand_light(sp.counts, cap)

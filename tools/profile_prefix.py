@@ -93,24 +93,30 @@ def main():
                         + jnp.sum(proj.depths))
             sp = binning.spans(sg(proj.means2d), sg(proj.radii),
                                sg(proj.valid), W, H)
-            exp = binning.expand(sp.counts, cap)
-            if stage == 2:
-                return (jnp.sum(exp.g) + jnp.sum(exp.offsets)
-                        + jnp.sum(proj.means2d)).astype(jnp.float32)
+            exp = binning.expand_light(sp.counts, cap)
             op_eff = opac * proj.compensations * proj.valid.astype(
                 jnp.float32)
             logop = jnp.log(jnp.maximum(op_eff, 1e-12))
-            table = jnp.concatenate([
-                sg(sp.tx0.astype(jnp.float32))[:, None],
-                sg(sp.ty0.astype(jnp.float32))[:, None],
-                sg(sp.span_w.astype(jnp.float32))[:, None],
-                sg(exp.offsets[:-1].astype(jnp.float32))[:, None],
-                proj.means2d, proj.conics, logop[:, None], colors,
-                proj.depths[:, None]], axis=1)
-            dummy = jnp.zeros((1, table.shape[1])).at[0, 9].set(-30.0)
-            table = jnp.concatenate([table, dummy])
-            key_s, gid_s, feats_s = pipeline._expand_sort(table, exp, ntx,
-                                                          n_tiles)
+            from bilateral_driving_tpu.ops import expand_pallas
+            table_T = jnp.stack([
+                sg(sp.tx0.astype(jnp.float32)),
+                sg(sp.ty0.astype(jnp.float32)),
+                sg(sp.span_w.astype(jnp.float32)),
+                sg(exp.offsets[:-1].astype(jnp.float32)),
+                proj.means2d[:, 0], proj.means2d[:, 1],
+                proj.conics[:, 0], proj.conics[:, 1], proj.conics[:, 2],
+                logop, colors[:, 0], colors[:, 1], colors[:, 2],
+                proj.depths, sg(jnp.arange(n, dtype=jnp.float32)),
+                jnp.zeros((n,), jnp.float32)], axis=0)
+            if stage == 2:
+                key_u, gid_u, feats_u = expand_pallas.expand_gather(
+                    table_T, exp.offsets, exp.num_isects, cap, ntx,
+                    n_tiles, n)
+                return (jnp.sum(feats_u) + jnp.sum(gid_u)
+                        + jnp.sum(key_u)).astype(jnp.float32)
+            key_s, gid_s, feats_s = pipeline._expand_sort_pallas(
+                table_T, exp.offsets, exp.num_isects, cap, ntx, n_tiles,
+                n, False)
             if stage == 3:
                 return jnp.sum(feats_s) + jnp.sum(gid_s).astype(jnp.float32)
             tile_s = binning.tiles_of_keys(sg(key_s), n_tiles)
@@ -129,8 +135,8 @@ def main():
             return l + jnp.sum(g)
         return run(m)
 
-    names = ["P1 projection", "P2 +spans/expand", "P3 +table+sortpayload",
-             "P4 +tile_ranges", "P5 full fwd"]
+    names = ["P1 projection", "P2 +spans/table/expand-krnl",
+             "P3 +sortpayload", "P4 +tile_ranges", "P5 full fwd"]
     prev = 0.0
     for s, name in enumerate(names, start=1):
         dt = time_loop(lambda i, s=s: upto(i, s), iters=it)
