@@ -1,12 +1,24 @@
 """Generate committed golden render/gradient fixtures for the rasterization
-pipeline (SURVEY.md §4 oracle set; VERDICT round-1 item 8).
+pipeline from an INDEPENDENT implementation (VERDICT round-2 item 2).
 
-The goldens lock the oracle-verified pipeline outputs at generation time so
-any later numerical drift — in the Pallas kernels, the binning sort, the
-projection math, or a JAX upgrade — fails tests/test_goldens.py with a
-diff, instead of silently shifting quality. Inputs are STORED in the file
-(not re-derived from a PRNG seed) so the fixture survives jax.random
-implementation changes.
+Independence argument (PARITY.md): the production pipeline projects with a
+hand-expanded component-form EWA (ops/projection.py) and composites with the
+Pallas tile kernel fed by the binning sort (ops/pipeline.py). The goldens
+here are produced by
+  * a straightforward batched MATRIX-form EWA projection written against the
+    gsplat v1.3.0 spec (fully_fused_projection: persp_proj frustum clamp
+    lim = 1.3 tan(fov/2), cov2d = J W Sigma W^T J^T, eps2d = 0.3 diagonal
+    blur, radius = ceil(3 sqrt(lambda_max)); reference call site
+    /root/reference/project/models/trainers/base.py:393-408), and
+  * the O(N H W) all-pairs oracle compositor (ops/rasterize_ref.py) with
+    exact-depth stable ordering,
+with gradients autodiff'd through that independent chain. The two
+formulations share no code beyond jnp primitives, so a misread of gsplat's
+semantics in the pipeline (tie order, blur compensation, alpha gates, ED
+normalization) shows up as a golden mismatch instead of being locked in.
+
+Inputs are STORED in the file (not re-derived from a PRNG seed) so the
+fixture survives jax.random implementation changes.
 
 Run from the repo root: python tests/fixtures/make_goldens.py
 """
@@ -25,10 +37,105 @@ import numpy as np  # noqa: E402
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 from bilateral_driving_tpu.core import gaussians as G  # noqa: E402
-from bilateral_driving_tpu.ops import pipeline  # noqa: E402
+from bilateral_driving_tpu.ops.rasterize_ref import (  # noqa: E402
+    rasterize_reference,
+)
 
 WIDTH, HEIGHT = 96, 64
 N = 300
+EPS2D = 0.3
+
+
+def quat_to_rotmat(q):
+    """(N, 4) wxyz -> (N, 3, 3), matrix form (gsplat quat_to_rotmat)."""
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                   2 * (x * z + w * y)], -1),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - w * x)], -1),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                   1 - 2 * (x * x + y * y)], -1),
+    ], axis=1)
+
+
+def project_matrix_form(means, quats, scales, viewmat, K, width, height,
+                        near_plane=0.01, far_plane=1e10, radius_clip=0.0):
+    """Batched matrix-form EWA projection per the gsplat v1.3.0 spec."""
+    R = viewmat[:3, :3]
+    t = viewmat[:3, 3]
+    mean_c = means @ R.T + t
+    z = mean_c[:, 2]
+    zs = jnp.maximum(z, near_plane)
+
+    Rq = quat_to_rotmat(quats)                     # (N, 3, 3)
+    S = scales[:, None, :] * jnp.eye(3)            # (N, 3, 3) diag
+    M = Rq @ S
+    cov3d = M @ jnp.swapaxes(M, 1, 2)              # (N, 3, 3) world
+    cov_c = jnp.einsum("ij,njk,lk->nil", R, cov3d, R)
+
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    lim_x = 1.3 * (0.5 * width / fx)
+    lim_y = 1.3 * (0.5 * height / fy)
+    tx = zs * jnp.clip(mean_c[:, 0] / zs, -lim_x, lim_x)
+    ty = zs * jnp.clip(mean_c[:, 1] / zs, -lim_y, lim_y)
+    rz = 1.0 / zs
+    zero = jnp.zeros_like(rz)
+    J = jnp.stack([
+        jnp.stack([fx * rz, zero, -fx * tx * rz * rz], -1),
+        jnp.stack([zero, fy * rz, -fy * ty * rz * rz], -1),
+    ], axis=1)                                     # (N, 2, 3)
+    cov2d = J @ cov_c @ jnp.swapaxes(J, 1, 2)      # (N, 2, 2)
+
+    det_orig = (cov2d[:, 0, 0] * cov2d[:, 1, 1]
+                - cov2d[:, 0, 1] * cov2d[:, 1, 0])
+    cov2d = cov2d + EPS2D * jnp.eye(2)
+    det = (cov2d[:, 0, 0] * cov2d[:, 1, 1] - cov2d[:, 0, 1] * cov2d[:, 1, 0])
+    det_safe = jnp.where(det <= 0.0, 1.0, det)
+    conic = jnp.stack([cov2d[:, 1, 1], -cov2d[:, 0, 1], cov2d[:, 0, 0]],
+                      -1) / det_safe[:, None]
+
+    b_mid = 0.5 * (cov2d[:, 0, 0] + cov2d[:, 1, 1])
+    v1 = b_mid + jnp.sqrt(jnp.maximum(b_mid * b_mid - det, 0.01))
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(v1, 0.0)))
+
+    means2d = jnp.stack([fx * mean_c[:, 0] * rz + cx,
+                         fy * mean_c[:, 1] * rz + cy], -1)
+    valid = ((z > near_plane) & (z < far_plane) & (det > 0.0)
+             & (radius > radius_clip)
+             & (means2d[:, 0] + radius > 0) & (means2d[:, 0] - radius < width)
+             & (means2d[:, 1] + radius > 0)
+             & (means2d[:, 1] - radius < height))
+    radii = jnp.where(valid, radius, 0.0).astype(jnp.int32)
+    return means2d, conic, z, radii, valid
+
+
+def count_isects(means2d, radii, valid, width, height):
+    """Independent gsplat isect_tiles count: per-Gaussian tile-AABB areas."""
+    from bilateral_driving_tpu.ops.binning import TILE, num_tiles
+    ntx, nty = num_tiles(width, height)
+    r = radii.astype(jnp.float32)
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - r) / TILE), 0, ntx)
+    x1 = jnp.clip(jnp.ceil((means2d[:, 0] + r) / TILE), 0, ntx)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - r) / TILE), 0, nty)
+    y1 = jnp.clip(jnp.ceil((means2d[:, 1] + r) / TILE), 0, nty)
+    n = jnp.where(valid, (x1 - x0) * (y1 - y0), 0.0)
+    return jnp.sum(n).astype(jnp.int32)
+
+
+def render_independent(means, quats, scales, opac, colors, viewmat, K):
+    """Full independent forward: matrix projection + all-pairs oracle with
+    gsplat RGB+ED output semantics (depth = accum / alpha)."""
+    means2d, conic, depths, radii, valid = project_matrix_form(
+        means, quats, scales, viewmat, K, WIDTH, HEIGHT)
+    op_eff = opac * valid.astype(opac.dtype)
+    cols4 = jnp.concatenate([colors, depths[:, None]], axis=1)
+    accum, alpha = rasterize_reference(means2d, conic, depths, radii, valid,
+                                       op_eff, cols4, WIDTH, HEIGHT)
+    rgb = accum[..., :3]
+    depth = accum[..., 3] / jnp.clip(alpha, 1e-10, None)
+    return rgb, depth, alpha, (means2d, radii, valid)
 
 
 def main():
@@ -46,19 +153,18 @@ def main():
     f = 0.8 * WIDTH
     K = jnp.array([[f, 0.0, WIDTH / 2], [0.0, f, HEIGHT / 2], [0, 0, 1.0]])
 
-    cfg = pipeline.RasterizeConfig(isect_capacity=2 ** 14, interpret=True)
-
     def loss(means, scales, opac, colors):
-        out = pipeline.rasterize(means, quats, scales, opac, colors, viewmat,
-                                 K, WIDTH, HEIGHT, cfg)
+        rgb, depth, alpha, _ = render_independent(
+            means, quats, scales, opac, colors, viewmat, K)
         # weighted sums touch every output head so every gradient path is
         # exercised, incl. the expected-depth normalization
-        return (jnp.sum(out["rgb"] * 1.7) + jnp.sum(out["alpha"] * 0.3)
-                + jnp.sum(jnp.where(out["alpha"] > 0.2, out["depth"], 0.0)))
+        return (jnp.sum(rgb * 1.7) + jnp.sum(alpha * 0.3)
+                + jnp.sum(jnp.where(alpha > 0.2, depth, 0.0)))
 
-    out = pipeline.rasterize(means, quats, scales, opac, colors, viewmat, K,
-                             WIDTH, HEIGHT, cfg)
+    rgb, depth, alpha, (means2d, radii, valid) = render_independent(
+        means, quats, scales, opac, colors, viewmat, K)
     grads = jax.grad(loss, argnums=(0, 1, 2, 3))(means, scales, opac, colors)
+    n_isect = count_isects(means2d, radii, valid, WIDTH, HEIGHT)
 
     path = os.path.join(os.path.dirname(__file__), "goldens_rasterize.npz")
     np.savez_compressed(
@@ -67,12 +173,12 @@ def main():
         scales=np.asarray(scales), opac=np.asarray(opac),
         colors=np.asarray(colors), viewmat=np.asarray(viewmat),
         K=np.asarray(K),
-        rgb=np.asarray(out["rgb"]), depth=np.asarray(out["depth"]),
-        alpha=np.asarray(out["alpha"]),
-        num_isects=np.asarray(out["info"]["num_isects"]),
+        rgb=np.asarray(rgb), depth=np.asarray(depth),
+        alpha=np.asarray(alpha),
+        num_isects=np.asarray(n_isect),
         g_means=np.asarray(grads[0]), g_scales=np.asarray(grads[1]),
         g_opac=np.asarray(grads[2]), g_colors=np.asarray(grads[3]))
-    print("wrote", path, "num_isects", int(out["info"]["num_isects"]))
+    print("wrote", path, "num_isects", int(n_isect))
 
 
 if __name__ == "__main__":
