@@ -82,6 +82,7 @@ DATASETS: Dict[str, DatasetLayout] = {
             5: CameraMeta("back_camera", (1080, 1920), egocar_visible=True),
         },
         calib_style="per_frame",
+        lidar_format="xyzil",
         world_anchor="ego",
     ),
     "argoverse": DatasetLayout(

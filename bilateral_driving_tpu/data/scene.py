@@ -55,10 +55,31 @@ DEFAULT_CLASS_TO_NODE = {
     "human.pedestrian": "SMPLNodes",
     "human.pedestrian.adult": "SMPLNodes",
     "human.pedestrian.child": "SMPLNodes",
+    # KITTI labels (kitti_sourceloader.py:23-35)
     "Car": "RigidNodes",
+    "Van": "RigidNodes",
     "Truck": "RigidNodes",
+    "Tram": "RigidNodes",
     "Pedestrian": "SMPLNodes",
+    "Person_sitting": "SMPLNodes",
     "Cyclist": "DeformableNodes",
+    # PandaSet labels (pandaset_sourceloader.py:23-44)
+    "Bus": "RigidNodes",
+    "Emergency Vehicle": "RigidNodes",
+    "Medium-sized Truck": "RigidNodes",
+    "Motorcycle": "RigidNodes",
+    "Motorized Scooter": "RigidNodes",
+    "Other Vehicle - Construction Vehicle": "RigidNodes",
+    "Other Vehicle - Pedicab": "RigidNodes",
+    "Other Vehicle - Uncommon": "RigidNodes",
+    "Pickup Truck": "RigidNodes",
+    "Semi-truck": "RigidNodes",
+    "Train": "RigidNodes",
+    "Tram / Subway": "RigidNodes",
+    "Pedestrian with Object": "SMPLNodes",
+    "Bicycle": "DeformableNodes",
+    "Animals - Other": "DeformableNodes",
+    "Personal Mobility Device": "DeformableNodes",
 }
 
 
@@ -390,6 +411,13 @@ def load_scene(
                 pts = raw.reshape(-1, 14)[:, 3:6]
                 l2w = inv_first @ np.loadtxt(os.path.join(
                     scene_dir, "ego_pose", f"{t:03d}.txt"))
+            elif lidar_format == "xyzil":
+                # pandaset: (N, 5) [x y z intensity laser_id] in the ego
+                # (mechanical-lidar) frame; pose is the per-frame ego pose
+                # (pandaset_sourceloader.py:370-431)
+                pts = raw.reshape(-1, 5)[:, :3]
+                l2w = inv_first @ np.loadtxt(os.path.join(
+                    scene_dir, "ego_pose", f"{t:03d}.txt"))
             else:
                 pts = raw.reshape(-1, 4)[:, :3]
                 pose_f = os.path.join(scene_dir, "lidar_pose", f"{t:03d}.txt")
@@ -554,16 +582,22 @@ def project_lidar_depth(data: SceneData) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
-def get_init_objects(data: SceneData, node_type: str, max_pts: int = 5000,
+def get_init_objects(data: SceneData, node_type, max_pts: int = 5000,
                      only_moving: bool = True, traj_length_thres: float = 0.5,
                      seed: int = 0):
     """Aggregate lidar points inside each instance's boxes across frames,
     expressed in the instance frame (driving_dataset.py:280-416). Returns
-    dict with local points/colors per instance + pose tracks."""
+    dict with local points/colors per instance + pose tracks.
+
+    node_type: one node class or a tuple of classes — the reference routes
+    SMPL-class instances into DeformableNodes when SMPL is disabled
+    (load_smpl=False, the shipped nuScenes protocol), so the deformable
+    branch passes ("DeformableNodes", "SMPLNodes") in that case."""
     inst = data.instances
     if inst is None:
         return None
-    sel = [i for i, nt in enumerate(inst.node_types) if nt == node_type]
+    types = (node_type,) if isinstance(node_type, str) else tuple(node_type)
+    sel = [i for i, nt in enumerate(inst.node_types) if nt in types]
     if only_moving:
         moving = []
         for i in sel:

@@ -22,12 +22,16 @@ import argparse
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", default="nuscenes",
-                   choices=["nuscenes", "waymo"])
+                   choices=["nuscenes", "waymo", "kitti", "pandaset",
+                            "argoverse", "nuplan"])
     p.add_argument("--data_root", required=True)
     p.add_argument("--target_dir", required=True)
     p.add_argument("--version", default="v1.0-mini",
                    help="nuScenes table version (v1.0-mini/v1.0-trainval)")
     p.add_argument("--scene_ids", type=int, nargs="+", default=[0])
+    p.add_argument("--scene_names", nargs="+", default=None,
+                   help="scene names for name-keyed datasets (kitti drive "
+                        "names, pandaset sequence ids); overrides scene_ids")
     p.add_argument("--process_keys", nargs="+",
                    default=["images", "calib", "lidar", "dynamic_masks",
                             "objects"])
@@ -53,7 +57,7 @@ def main():
                 out = conv.convert_scene(sid)
                 outputs.append(out)
                 print(f"scene {sid} -> {out}")
-        else:
+        elif args.dataset == "waymo":
             from . import waymo as wy
 
             for sid in args.scene_ids:
@@ -61,6 +65,46 @@ def main():
                                        process_keys=convert_keys)
                 outputs.append(out)
                 print(f"scene {sid} -> {out}")
+        elif args.dataset == "kitti":
+            from . import kitti as kt
+
+            conv = kt.KittiConverter(args.data_root, args.target_dir,
+                                     process_keys=convert_keys)
+            names = args.scene_names or [str(s) for s in args.scene_ids]
+            for i, name in enumerate(names):
+                out = conv.convert_scene(name, out_name=f"{i:03d}")
+                outputs.append(out)
+                print(f"scene {name} -> {out}")
+        elif args.dataset == "pandaset":
+            from . import pandaset as pd_
+
+            conv = pd_.PandasetConverter(args.data_root, args.target_dir,
+                                         process_keys=convert_keys)
+            names = args.scene_names or [f"{s:03d}" for s in args.scene_ids]
+            for i, name in enumerate(names):
+                out = conv.convert_scene(name, out_name=f"{i:03d}")
+                outputs.append(out)
+                print(f"scene {name} -> {out}")
+        elif args.dataset == "argoverse":
+            from . import argoverse as av
+
+            conv = av.ArgoverseConverter(args.data_root, args.target_dir,
+                                         process_keys=convert_keys)
+            names = args.scene_names or [str(s) for s in args.scene_ids]
+            for i, name in enumerate(names):
+                out = conv.convert_scene(name, out_name=f"{i:03d}")
+                outputs.append(out)
+                print(f"scene {name} -> {out}")
+        else:
+            from . import nuplan as npl
+
+            conv = npl.NuplanConverter(args.data_root, args.target_dir,
+                                       process_keys=convert_keys)
+            names = args.scene_names or [str(s) for s in args.scene_ids]
+            for i, name in enumerate(names):
+                out = conv.convert_scene(name, out_name=f"{i:03d}")
+                outputs.append(out)
+                print(f"scene {name} -> {out}")
 
     if "sky_masks" in keys:
         from . import masks
@@ -105,6 +149,10 @@ def main():
             num_frames = len([
                 f for f in os.listdir(os.path.join(out, "extrinsics"))
                 if f.endswith(f"_{cams[0]}.txt")])
+            if num_frames == 0:
+                # ego_pose-style layouts (kitti/waymo/argoverse) keep static
+                # per-camera extrinsics; frames live in ego_pose/
+                num_frames = len(os.listdir(os.path.join(out, "ego_pose")))
             gt = smpl_track.gt_tracks_from_scene(out, cams, sizes,
                                                  num_frames=num_frames)
             path = smpl_track.process_scene(out, gt, num_frames)

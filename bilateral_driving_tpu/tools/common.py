@@ -261,7 +261,14 @@ def build_real_scene(key, cfg: ConfigDict, interpret=False):
             tcfg = dataclasses.replace(tcfg, use_smpl=False)
 
     if tcfg.use_deformable:
-        obj = scene_mod.get_init_objects(data, "DeformableNodes")
+        # with SMPL off (or its gated model pickle absent) SMPL-class
+        # instances fall through to DeformableNodes, mirroring the
+        # reference's load_smpl=False routing (the shipped nuScenes
+        # protocol, scripts/train.sh:16; nuscenes_sourceloader SMPLNODE
+        # handling)
+        deform_types = ("DeformableNodes",) if tcfg.use_smpl else (
+            "DeformableNodes", "SMPLNodes")
+        obj = scene_mod.get_init_objects(data, deform_types)
         if obj is not None:
             cap = int(cfg.get("deformable_capacity",
                               2 * obj["means"].shape[0]))
@@ -290,17 +297,25 @@ def _smpl_from_scene(key, cfg, data, tcfg):
     (cfg.smpl.model_path) — returns None if missing (gated asset)."""
     smpl_path = cfg.get_path("smpl.model_path")
     inst = data.instances
-    if inst is None or smpl_path is None or not os.path.exists(smpl_path):
+    synthetic_body = smpl_path == "synthetic"
+    if inst is None or smpl_path is None or not (
+            synthetic_body or os.path.exists(smpl_path)):
         return None
     sel = [i for i, nt in enumerate(inst.node_types) if nt == "SMPLNodes"]
     if not sel:
         return None
-    model = smpl_model.load_model(smpl_path)
+    # "synthetic": deterministic low-poly body in place of the gated SMPL
+    # pickle, so fixture-scale smokes exercise the full SMPL branch
+    # (LBS + tracked body quats) without the licensed asset
+    model = (smpl_model.synthetic_model(jax.random.key(0), num_verts=256)
+             if synthetic_body else smpl_model.load_model(smpl_path))
     F, I = data.num_frames, len(sel)
     from ..core import transforms as T
 
     poses = inst.poses[:, sel]
-    root_q = np.asarray(T.rotmat_to_quat(jnp.asarray(poses[..., :3, :3])))
+    # np.array (not asarray): the jax buffer view is read-only and tracked
+    # poses are written in below
+    root_q = np.array(T.rotmat_to_quat(jnp.asarray(poses[..., :3, :3])))
     body = np.broadcast_to(np.asarray(smpl_model.da_pose_quats())[1:],
                            (F, I, 23, 4)).copy()
     betas = np.zeros((I, 10), np.float32)

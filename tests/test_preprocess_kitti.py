@@ -1,0 +1,190 @@
+"""KITTI raw -> drivestudio-layout converter on a synthetic raw fixture
+(preprocess/kitti.py; reference kitti_preprocess.py semantics), plus the
+data-layer round-trip for the kitti calibration style (VERDICT r2 item 9)."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from bilateral_driving_tpu.preprocess import kitti as kp
+
+DATE = "2011_09_26"
+DRIVE = "2011_09_26_drive_0001_sync"
+N_FRAMES = 3
+W, H = 96, 64
+FX, CX, CY = 100.0, 48.0, 32.0
+
+# velo (x fwd, y left, z up) -> cam (x right, y down, z fwd)
+R_V2C = np.array([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+T_V2C = np.array([0.0, -0.08, -0.27])
+
+
+@pytest.fixture
+def raw_kitti(tmp_path):
+    root = tmp_path / "kitti_raw"
+    date_dir = root / DATE
+    drive = date_dir / DRIVE
+    for sub in ("image_02/data", "image_03/data", "velodyne_points/data",
+                "oxts/data"):
+        (drive / sub).mkdir(parents=True)
+
+    with open(date_dir / "calib_velo_to_cam.txt", "w") as f:
+        f.write("R: " + " ".join(map(str, R_V2C.ravel())) + "\n")
+        f.write("T: " + " ".join(map(str, T_V2C)) + "\n")
+    with open(date_dir / "calib_imu_to_velo.txt", "w") as f:
+        f.write("R: 1 0 0 0 1 0 0 0 1\nT: -0.8 0.3 0.8\n")
+    P2 = np.array([[FX, 0, CX, -6.0], [0, FX, CY, 0], [0, 0, 1, 0]])
+    P3 = np.array([[FX, 0, CX, 40.0], [0, FX, CY, 0], [0, 0, 1, 0]])
+    with open(date_dir / "calib_cam_to_cam.txt", "w") as f:
+        f.write("calib_time: 09-Jan-2012 13:57:47\n")
+        f.write("R_rect_00: 1 0 0 0 1 0 0 0 1\n")
+        f.write("P_rect_02: " + " ".join(map(str, P2.ravel())) + "\n")
+        f.write("P_rect_03: " + " ".join(map(str, P3.ravel())) + "\n")
+
+    rng = np.random.default_rng(0)
+    # ego drives +x ~2 m/frame: lon increment at lat 0
+    dlon = 2.0 / (np.pi * kp.ER / 180.0)
+    for t in range(N_FRAMES):
+        for imdir in ("image_02", "image_03"):
+            Image.fromarray(rng.integers(0, 255, (H, W, 3),
+                                         dtype=np.uint8)).save(
+                drive / imdir / "data" / f"{t:010d}.png")
+        pts = np.concatenate([
+            rng.uniform(2, 30, (60, 1)),        # x forward
+            rng.uniform(-5, 5, (60, 2)),        # y, z
+            rng.uniform(0, 1, (60, 1)),         # intensity
+        ], axis=1).astype(np.float32)
+        pts.tofile(drive / "velodyne_points" / "data" / f"{t:010d}.bin")
+        ox = np.zeros(30)
+        ox[1] = t * dlon                        # lon
+        ox[2] = 1.7                             # alt
+        np.savetxt(drive / "oxts" / "data" / f"{t:010d}.txt", ox)
+
+    # one car ahead moving +x, one pedestrian, one ignored Misc
+    def poses_xml(items):
+        rows = []
+        for (tx, ty, tz, rz) in items:
+            rows.append(f"<item><tx>{tx}</tx><ty>{ty}</ty><tz>{tz}</tz>"
+                        f"<rx>0</rx><ry>0</ry><rz>{rz}</rz>"
+                        "<state>1</state><occlusion>0</occlusion>"
+                        "<occlusion_kf>0</occlusion_kf>"
+                        "<truncation>0</truncation>"
+                        "<amt_occlusion>0</amt_occlusion>"
+                        "<amt_border_l>0</amt_border_l></item>")
+        return (f"<poses><count>{len(items)}</count>"
+                "<item_version>2</item_version>" + "".join(rows) +
+                "</poses>")
+
+    def tracklet(objtype, h, w, l, first, items):
+        return (f"<item><objectType>{objtype}</objectType><h>{h}</h>"
+                f"<w>{w}</w><l>{l}</l><first_frame>{first}</first_frame>"
+                + poses_xml(items) + "<finished>1</finished></item>")
+
+    xml = ("<?xml version='1.0'?><boost_serialization><tracklets>"
+           "<count>3</count><item_version>1</item_version>"
+           + tracklet("Car", 1.6, 2.0, 4.5, 0,
+                      [(10 + 0.5 * t, 0.0, -0.8, 0.1) for t in
+                       range(N_FRAMES)])
+           + tracklet("Pedestrian", 1.8, 0.6, 0.7, 1,
+                      [(8.0, 2.0, -0.9, 0.0), (8.0, 2.2, -0.9, 0.0)])
+           + tracklet("Misc", 1.0, 1.0, 1.0, 0, [(5.0, -3.0, 0.0, 0.0)])
+           + "</tracklets></boost_serialization>")
+    (drive / "tracklet_labels.xml").write_text(xml)
+    return str(root)
+
+
+def test_kitti_convert_and_load(raw_kitti, tmp_path):
+    out_root = str(tmp_path / "processed")
+    conv = kp.KittiConverter(raw_kitti, out_root)
+    out = conv.convert_scene(DRIVE, out_name="000")
+
+    # calibration: extrinsics = inv(T_camN_velo), rectified shift applied
+    e0 = np.loadtxt(os.path.join(out, "extrinsics", "0.txt"))
+    T_c2v = np.linalg.inv(e0)
+    np.testing.assert_allclose(T_c2v[:3, :3], R_V2C, atol=1e-9)
+    # x shift P2[0,3]/fx = -0.06 added to the velo->cam translation
+    np.testing.assert_allclose(T_c2v[:3, 3], T_V2C + [-0.06, 0, 0],
+                               atol=1e-9)
+    intr = np.loadtxt(os.path.join(out, "intrinsics", "0.txt"))
+    np.testing.assert_allclose(intr[:4], [FX, FX, CX, CY])
+
+    # ego (velo) poses advance ~2 m/frame in x through imu->velo chain
+    p0 = np.loadtxt(os.path.join(out, "ego_pose", "000.txt"))
+    p2 = np.loadtxt(os.path.join(out, "ego_pose", "002.txt"))
+    np.testing.assert_allclose(p2[:3, 3] - p0[:3, 3], [4.0, 0, 0],
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        np.loadtxt(os.path.join(out, "lidar_pose", "001.txt")),
+        np.loadtxt(os.path.join(out, "ego_pose", "001.txt")))
+
+    # lidar copied verbatim as (N, 4) xyzi
+    pts = np.fromfile(os.path.join(out, "lidar", "000.bin"),
+                      np.float32).reshape(-1, 4)
+    assert pts.shape == (60, 4)
+
+    # objects: Misc excluded; car bottom-center lifted by h/2; size l,w,h
+    info = json.load(open(os.path.join(out, "instances",
+                                       "instances_info.json")))
+    assert len(info) == 2
+    car = info["0"]
+    assert car["class_name"] == "Car"
+    ann = car["frame_annotations"]
+    assert ann["frame_idx"] == [0, 1, 2]
+    np.testing.assert_allclose(ann["box_size"][0], [4.5, 2.0, 1.6])
+    o2w0 = np.array(ann["obj_to_world"][0])
+    # frame 0: ego at origin-ish; z = tz + h/2 + velo z offset (0.8 from imu)
+    np.testing.assert_allclose(o2w0[2, 3], -0.8 + 0.8 + 0.8, atol=1e-6)
+    # car world x advances by ego motion + own motion: 2.0 + 0.5 per frame
+    o2w1 = np.array(ann["obj_to_world"][1])
+    np.testing.assert_allclose(o2w1[0, 3] - o2w0[0, 3], 2.5, atol=1e-5)
+    ped = info["1"]
+    assert ped["class_name"] == "Pedestrian"
+    assert ped["frame_annotations"]["frame_idx"] == [1, 2]
+    frame_inst = json.load(open(os.path.join(out, "instances",
+                                             "frame_instances.json")))
+    assert frame_inst["0"] == [0] and set(frame_inst["1"]) == {0, 1}
+
+    # dynamic masks: car visible ahead -> vehicle mask non-empty; the
+    # pedestrian box drives the human mask in frames 1-2
+    veh = np.asarray(Image.open(os.path.join(out, "dynamic_masks",
+                                             "vehicle", "000_0.png")))
+    assert (veh > 0).sum() > 0
+    hum = np.asarray(Image.open(os.path.join(out, "dynamic_masks", "human",
+                                             "001_0.png")))
+    allm = np.asarray(Image.open(os.path.join(out, "dynamic_masks", "all",
+                                              "001_0.png")))
+    assert ((allm > 0) >= (hum > 0)).all()
+
+    # data-layer round-trip with the kitti layout (static cam-to-ego
+    # extrinsics + per-frame ego pose, data/meta.py "kitti")
+    from bilateral_driving_tpu.data import scene as scene_lib
+
+    data = scene_lib.load_scene(out, cameras=(0, 1), dataset="kitti",
+                                compute_depth_maps=True)
+    assert data.num_frames == N_FRAMES and data.num_cams == 2
+    assert data.images.shape == (2 * N_FRAMES, H, W, 3)
+    assert set(data.instances.node_types) == {"RigidNodes", "SMPLNodes"}
+    # lidar depth projection actually hits the front camera
+    assert (data.lidar_depth_maps > 0).sum() > 0
+    # stereo cameras look the same way; world recentered on first ego pose
+    fwd = data.cam_to_worlds[:, :3, 2]
+    assert np.allclose(fwd[0], fwd[1], atol=1e-6)
+
+
+def test_oxts_mercator_origin():
+    lines = [np.zeros(30), np.zeros(30)]
+    lines[1][0] = 1e-5                   # lat step
+    poses = kp.oxts_pose(lines)
+    np.testing.assert_allclose(poses[0], np.eye(4), atol=1e-12)
+    assert poses[1][1, 3] > 1.0          # ~1.11 m north
+
+
+def test_tracklet_parser_roundtrip(tmp_path, raw_kitti):
+    tr = kp.parse_tracklets(os.path.join(
+        raw_kitti, DATE, DRIVE, "tracklet_labels.xml"))
+    assert [t["type"] for t in tr] == ["Car", "Pedestrian", "Misc"]
+    assert tr[0]["size"] == [1.6, 2.0, 4.5]      # h, w, l
+    assert tr[1]["first_frame"] == 1
+    assert tr[0]["trans"].shape == (3, 3)
