@@ -136,6 +136,7 @@ DATASETS: Dict[str, DatasetLayout] = {
             7: CameraMeta("CAM_B0", (1080, 1920), egocar_visible=True),
         },
         calib_style="ego_pose",
+        lidar_format="nuplan6",
         world_anchor="ego",
     ),
 }

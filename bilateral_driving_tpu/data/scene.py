@@ -80,6 +80,41 @@ DEFAULT_CLASS_TO_NODE = {
     "Bicycle": "DeformableNodes",
     "Animals - Other": "DeformableNodes",
     "Personal Mobility Device": "DeformableNodes",
+    # Argoverse-2 labels (argoverse_sourceloader.py:23-56)
+    "ARTICULATED_BUS": "RigidNodes",
+    "BOLLARD": "RigidNodes",
+    "BOX_TRUCK": "RigidNodes",
+    "BUS": "RigidNodes",
+    "CONSTRUCTION_BARREL": "RigidNodes",
+    "CONSTRUCTION_CONE": "RigidNodes",
+    "LARGE_VEHICLE": "RigidNodes",
+    "MESSAGE_BOARD_TRAILER": "RigidNodes",
+    "MOBILE_PEDESTRIAN_CROSSING_SIGN": "RigidNodes",
+    "MOTORCYCLE": "RigidNodes",
+    "RAILED_VEHICLE": "RigidNodes",
+    "REGULAR_VEHICLE": "RigidNodes",
+    "SCHOOL_BUS": "RigidNodes",
+    "SIGN": "RigidNodes",
+    "STOP_SIGN": "RigidNodes",
+    "TRAFFIC_LIGHT_TRAILER": "RigidNodes",
+    "TRUCK": "RigidNodes",
+    "TRUCK_CAB": "RigidNodes",
+    "VEHICULAR_TRAILER": "RigidNodes",
+    "OFFICIAL_SIGNALER": "SMPLNodes",
+    "PEDESTRIAN": "SMPLNodes",
+    "ANIMAL": "DeformableNodes",
+    "BICYCLE": "DeformableNodes",
+    "BICYCLIST": "DeformableNodes",
+    "DOG": "DeformableNodes",
+    "MOTORCYCLIST": "DeformableNodes",
+    "STROLLER": "DeformableNodes",
+    "WHEELCHAIR": "DeformableNodes",
+    "WHEELED_DEVICE": "DeformableNodes",
+    "WHEELED_RIDER": "DeformableNodes",
+    # nuPlan labels (nuplan_sourceloader.py:22-24)
+    "vehicle": "RigidNodes",
+    "pedestrian": "SMPLNodes",
+    "bicycle": "DeformableNodes",
 }
 
 
@@ -409,6 +444,12 @@ def load_scene(
                 # frame t (waymo_sourceloader.py:391-399); transform by the
                 # recentered ego pose
                 pts = raw.reshape(-1, 14)[:, 3:6]
+                l2w = inv_first @ np.loadtxt(os.path.join(
+                    scene_dir, "ego_pose", f"{t:03d}.txt"))
+            elif lidar_format == "nuplan6":
+                # nuplan: (N, 6) [x y z intensity ring lidar_id] in the ego
+                # frame (nuplan_sourceloader.py:404); pose from ego_pose
+                pts = raw.reshape(-1, 6)[:, :3]
                 l2w = inv_first @ np.loadtxt(os.path.join(
                     scene_dir, "ego_pose", f"{t:03d}.txt"))
             elif lidar_format == "xyzil":
