@@ -396,17 +396,40 @@ def write_smpl_pkl(merged: Dict[int, MergedTrack], scene_dir: str) -> str:
 # --------------------------------------------------------------------------
 
 
+def _is_smpl_class(cls: str, pedestrian_classes) -> bool:
+    """SMPL-track-worthy class: prefix match against the explicit list OR an
+    exact SMPLNodes entry in the cross-dataset class table (covers KITTI
+    'Pedestrian', PandaSet 'Pedestrian with Object', AV2 'PEDESTRIAN',
+    nuPlan 'pedestrian' — the reference's per-dataset *_human_utils.py
+    SMPLNODE_CLASSES lists)."""
+    from ..data.scene import DEFAULT_CLASS_TO_NODE
+
+    if any(cls.startswith(p) for p in pedestrian_classes):
+        return True
+    return DEFAULT_CLASS_TO_NODE.get(cls) == "SMPLNodes"
+
+
 def gt_tracks_from_scene(scene_dir: str, camera_list: List[int],
                          image_size: Dict[int, tuple],
                          pedestrian_classes=("human.pedestrian",),
-                         num_frames: Optional[int] = None) -> Dict:
+                         num_frames: Optional[int] = None,
+                         dataset: Optional[str] = None) -> Dict:
     """Project pedestrian 3-D boxes of a converted scene to per-camera 2-D
-    GT tracks (the reference's `projection_fn`, humanpose_process.py:30-34).
+    GT tracks (the reference's per-dataset `*_human_utils.project_human_
+    boxes`, dispatched via humanpose_process.py:30-34 — one generic
+    implementation here because every converter emits the same layout).
 
-    Reads instances/instances_info.json + extrinsics/intrinsics from the
-    drivestudio layout; returns {cam: {frame: gt_frame_dict}} in the raw
+    Handles both calibration styles (data/meta.py): per-frame cam-to-world
+    extrinsics (nuscenes/pandaset) and static cam-to-ego + per-frame
+    ego_pose (waymo/kitti/argoverse/nuplan), including the dataset->OpenCV
+    axis permutation. Returns {cam: {frame: gt_frame_dict}} in the raw
     schema `parse_phalp_tracks` expects."""
     import json
+
+    from ..data import meta as meta_mod
+
+    layout = meta_mod.get_layout(dataset)
+    opencv_m = layout.opencv_mat() if layout is not None else np.eye(4)
 
     with open(os.path.join(scene_dir, "instances",
                            "instances_info.json")) as f:
@@ -418,24 +441,36 @@ def gt_tracks_from_scene(scene_dir: str, camera_list: List[int],
     out = {}
     for cam in camera_list:
         K = np.loadtxt(os.path.join(scene_dir, "intrinsics", f"{cam}.txt"))
-        if K.size == 9:
+        if K.size == 9 and K.ndim == 2:
             K = K.reshape(3, 3)
         else:  # fx fy cx cy [dist...]
             fx, fy, cx, cy = K.reshape(-1)[:4]
             K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
         w, h = image_size[cam]
+        static_path = os.path.join(scene_dir, "extrinsics", f"{cam}.txt")
+        cam_to_ego = (np.loadtxt(static_path) @ opencv_m
+                      if os.path.exists(static_path) else None)
         per_frame = {}
         for fi in range(num_frames):
             tids, boxes = [], []
-            c2w_path = os.path.join(scene_dir, "extrinsics",
-                                    f"{fi:03d}_{cam}.txt")
-            if not os.path.exists(c2w_path):
-                per_frame[fi] = _gt_raw_frame(tids, boxes)
-                continue
-            w2c = np.linalg.inv(np.loadtxt(c2w_path))
+            if cam_to_ego is not None:
+                ego_path = os.path.join(scene_dir, "ego_pose",
+                                        f"{fi:03d}.txt")
+                if not os.path.exists(ego_path):
+                    per_frame[fi] = _gt_raw_frame(tids, boxes)
+                    continue
+                c2w = np.loadtxt(ego_path) @ cam_to_ego
+            else:
+                c2w_path = os.path.join(scene_dir, "extrinsics",
+                                        f"{fi:03d}_{cam}.txt")
+                if not os.path.exists(c2w_path):
+                    per_frame[fi] = _gt_raw_frame(tids, boxes)
+                    continue
+                c2w = np.loadtxt(c2w_path)
+            w2c = np.linalg.inv(c2w)
             for iid, meta in info.items():
                 cls = meta.get("class_name", "")
-                if not any(cls.startswith(p) for p in pedestrian_classes):
+                if not _is_smpl_class(cls, pedestrian_classes):
                     continue
                 ann = meta["frame_annotations"]
                 if fi not in ann["frame_idx"]:

@@ -188,3 +188,26 @@ def test_tracklet_parser_roundtrip(tmp_path, raw_kitti):
     assert tr[0]["size"] == [1.6, 2.0, 4.5]      # h, w, l
     assert tr[1]["first_frame"] == 1
     assert tr[0]["trans"].shape == (3, 3)
+
+
+def test_gt_human_tracks_ego_pose_style(raw_kitti, tmp_path):
+    """kitti_human_utils.project_human_boxes equivalent: GT pedestrian 2-D
+    tracks from an ego_pose-style converted scene (static cam-to-ego +
+    per-frame ego pose) via the generic gt_tracks_from_scene."""
+    from bilateral_driving_tpu.preprocess import kitti as kp2
+    from bilateral_driving_tpu.preprocess import smpl_track
+
+    out = kp2.KittiConverter(raw_kitti, str(tmp_path / "p")).convert_scene(
+        DRIVE, out_name="000")
+    gt = smpl_track.gt_tracks_from_scene(
+        out, [0], {0: (W, H)}, num_frames=N_FRAMES, dataset="kitti")
+    # the pedestrian (id 1) appears in frames 1-2 ahead-left of the ego
+    found = {fi: gt[0][fi]["extra_data"]["gt_track_id"]
+             for fi in range(N_FRAMES)}
+    assert 1 in found[1] and 1 in found[2]
+    assert 1 not in found[0]
+    # the Car (id 0, RigidNodes) is never emitted as a human track
+    assert all(0 not in v for v in found.values())
+    box = gt[0][1]["gt_bbox"][found[1].index(1)]
+    x, y, bw, bh = box
+    assert 0 <= x < W and 0 <= y < H and bw > 0 and bh > 0
