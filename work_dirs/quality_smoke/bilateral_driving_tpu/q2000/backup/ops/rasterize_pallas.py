@@ -87,15 +87,13 @@ def _tri(strict_lower: bool):
     return (j < i if strict_lower else j > i).astype(jnp.float32)
 
 
-def _dot(a, b, contract=((1,), (0,)), precision=None):
+def _dot(a, b, contract=((1,), (0,))):
     # HIGHEST: TPU f32 matmul defaults to one-pass bf16 on the MXU, which is
     # far too coarse for transmittance prefix sums (alpha drifts above 1).
-    # (Precision.HIGH / 3-pass would suit the gradient-side reductions but
-    # Mosaic only lowers DEFAULT and HIGHEST — A/B'd, NotImplementedError.)
     return jax.lax.dot_general(
         a, b, dimension_numbers=(contract, ((), ())),
         preferred_element_type=jnp.float32,
-        precision=precision or jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -111,12 +109,10 @@ def _chunk_transmittance(alpha):
 
     Scan mode multiplies directly (zero transcendentals; ~128 f32 rounding
     steps, rel err < 1e-5); matmul mode reproduces the original
-    exp(tri @ log1p(-alpha)) MXU path for A/B. The roll-wraparound masks
-    are (CHUNK, 1) sublane-vector compares (broadcast into the select), not
-    full (CHUNK, PIX) compares — 7 full-width ops saved per scan."""
+    exp(tri @ log1p(-alpha)) MXU path for A/B."""
     if TRI_MODE == "matmul":
         return jnp.exp(_dot(_tri(strict_lower=True), jnp.log1p(-alpha)))
-    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, alpha.shape[1]), 0)
     om = 1.0 - alpha
     s = jnp.where(row >= 1, pltpu.roll(om, 1, axis=0), 1.0)
     k = 1
@@ -130,7 +126,7 @@ def _suffix_excl(x):
     """Exclusive reverse prefix sum along axis 0 of (CHUNK, PIX)."""
     if TRI_MODE == "matmul":
         return _dot(_tri(strict_lower=False), x)
-    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, x.shape[1]), 0)
     # pltpu.roll takes non-negative shifts; roll by CHUNK-k == roll by -k
     s = jnp.where(row < CHUNK - 1, pltpu.roll(x, CHUNK - 1, axis=0), 0.0)
     k = 1
@@ -447,7 +443,7 @@ def _make_bwd_kernel(ntx: int):
             dmy = -b * dc3 - cq * dc4 + (cq * my + b * mx) * dc5
             dlo = -dc5
             # d_colors[ch, k] = Σ_p g8[ch, p] * w[k, p]
-            d_colors = _dot(g8, w, contract=((1,), (1,)))
+            d_colors = _dot(g8, w, contract=((1,), (1,)))  # (8, CHUNK)
             dchunk = jnp.concatenate([
                 dmx, dmy, da, db, dcq, dlo, d_colors[0:4, :],
                 jnp.zeros((6, CHUNK), jnp.float32),

@@ -1,0 +1,316 @@
+"""Training CLI (reference project/tools/train.py).
+
+    python -m bilateral_driving_tpu.tools.train \
+        --config_file bilateral_driving_tpu/configs/omnire_ms_bilateral.yaml \
+        --output_root ./work_dirs --run_name myrun \
+        data.scene_dir=/path/to/processed/scene trainer.max_steps=30000
+
+Config merge: method YAML + optional --dataset_file + CLI dotlist overrides
+(train.py:34-107). Trains with error-buffer importance sampling, periodic
+eval snapshots, JSONL metrics, and full-state orbax checkpoints.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import importance, synthetic
+from ..eval import render_loop
+from ..parallel import data_parallel
+from ..train import checkpoint, trainer
+from ..utils import config as config_lib
+from ..utils.logging import MetricLogger, setup_logging, logger
+from . import common
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", required=True)
+    p.add_argument("--dataset_file", default=None)
+    p.add_argument("--output_root", default="./work_dirs")
+    p.add_argument("--project", default="bilateral_driving_tpu")
+    p.add_argument("--run_name", default="run")
+    p.add_argument("--resume_from", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--enable_wandb", action="store_true",
+                   help="log to wandb when the package is available "
+                        "(offline mode without an API key)")
+    # multi-chip / multi-host (parallel/{data_parallel,distributed}.py —
+    # new capability over the reference's single-GPU assert, base.py:411)
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard each step's image batch over this many "
+                        "devices (0 = single device, -1 = all devices)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 for multi-host runs")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("opts", nargs="*", help="dotlist overrides key=value")
+    return p.parse_args()
+
+
+def _resolve_dataset_file(cfg, args):
+    """Reference-style `dataset=waymo/3cams` key -> configs/datasets YAML
+    (project/tools/train.py:42-55)."""
+    if args.dataset_file:
+        return args.dataset_file
+    ds = cfg.get("dataset")
+    if not ds:
+        return None
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "configs", "datasets", f"{ds}.yaml")
+    return path if os.path.exists(path) else None
+
+
+def main():
+    args = parse_args()
+    # must precede every other jax call (backend init forbids it afterwards)
+    from ..parallel import distributed
+    multiprocess = distributed.maybe_initialize(distributed.DistConfig(
+        coordinator=args.coordinator, num_processes=args.num_processes,
+        process_id=args.process_id))
+    is_lead = jax.process_index() == 0
+    cfg = config_lib.load_config(args.config_file, None, args.opts)
+    ds_file = _resolve_dataset_file(cfg, args)
+    if ds_file:
+        cfg = config_lib.load_config(args.config_file, ds_file, args.opts)
+    log_dir = os.path.join(args.output_root, args.project, args.run_name)
+    if multiprocess and not is_lead:
+        log_dir = os.path.join(log_dir, f"proc{jax.process_index()}")
+    os.makedirs(log_dir, exist_ok=True)
+    setup_logging(log_dir)
+    config_lib.save_config(cfg, os.path.join(log_dir, "config.yaml"))
+    # per-run source snapshot for reproducibility (utils/backup.py:39-56,
+    # invoked by the reference per run at train.py:102-106)
+    from ..utils import backup as backup_lib
+    backup_lib.backup_project(log_dir)
+
+    key = jax.random.key(args.seed)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    synthetic_mode = cfg.get_path("data.synthetic", False)
+
+    if synthetic_mode:
+        tcfg, scene, params, statics, aux, masks = \
+            common.build_synthetic_scene(key, cfg, interpret)
+        num_frames = scene.num_frames
+        # pre-render GT targets once so training has something to fit
+        full = trainer.merge_statics(statics, aux)
+        fwd = jax.jit(functools.partial(trainer.forward, tcfg))
+        batches = []
+        for f in range(num_frames):
+            b = synthetic.make_batch(
+                scene, f, jnp.zeros((scene.height, scene.width, 3)))
+            out = fwd(params, full, masks, b, jnp.asarray(0))
+            b["pixels"] = jnp.clip(out["rgb"], 0, 1)
+            batches.append(b)
+        # perturb the optimized state so the run starts AWAY from the GT
+        # optimum (otherwise loss/PSNR are flat and the smoke proves nothing)
+        leaves, treedef = jax.tree.flatten(params)
+        leaf_keys = jax.random.split(jax.random.fold_in(key, 1), len(leaves))
+        params = jax.tree.unflatten(treedef, [
+            p + 0.05 * jax.random.normal(k, p.shape, p.dtype)
+            if p.dtype in (jnp.float32, jnp.bfloat16) else p
+            for p, k in zip(leaves, leaf_keys)])
+        get_batch = lambda idx, downscale=1: batches[idx]
+        train_indices = np.arange(num_frames)
+        num_images = num_frames
+        data = None
+        neighbor_map = {}
+    else:
+        tcfg, data, params, statics, aux, masks = \
+            common.build_real_scene(key, cfg, interpret)
+        test_stride = cfg.get_path("data.test_image_stride", 10)
+        train_indices, test_indices = data.split_train_test(test_stride)
+        neighbor_map = data.neighbor_train_indices(test_stride)
+        get_batch = data.get_batch
+        num_images = data.num_images
+
+    logger.info(f"classes: {trainer.gaussian_classes(tcfg)}  "
+                f"images: {num_images}")
+
+    state = trainer.init_state(key, tcfg, params, masks, aux)
+    if args.resume_from:
+        state = checkpoint.restore_checkpoint(args.resume_from, state)
+        logger.info(f"resumed from {args.resume_from} @ step {int(state.step)}")
+
+    # parallel plan: 0 = single device; N>0 / -1(all) = image batch sharded
+    # over a `data` mesh, grads pmean'd over ICI/DCN (data_parallel.py)
+    mesh = None
+    if multiprocess:
+        mesh = distributed.global_mesh()
+    elif args.data_parallel and (args.data_parallel < 0
+                                 or args.data_parallel > 1):
+        n_dev = (len(jax.devices()) if args.data_parallel < 0
+                 else args.data_parallel)
+        mesh = data_parallel.make_mesh(n_dev)
+    if mesh is not None:
+        logger.info(f"data-parallel over {mesh.size} devices "
+                    f"({jax.process_count()} processes)")
+        step_fn = data_parallel.parallel_train_step(tcfg, statics, mesh)
+    else:
+        step_fn = jax.jit(functools.partial(trainer.train_step, tcfg,
+                                            statics))
+    sampler = importance.ImageSampler(
+        num_images, cfg.get_path("data.num_cams", 1),
+        buffer_ratio=cfg.get_path("sampler.buffer_ratio", 0.5),
+        start_enhance_weight=cfg.get_path("sampler.start_enhance_weight", 1.0),
+        seed=args.seed)
+
+    max_steps = tcfg.max_steps
+    ckpt_every = cfg.get_path("logging.ckpt_every", 10000)
+    log_every = cfg.get_path("logging.log_every", 100)
+    vis_freq = int(cfg.get_path("logging.vis_freq", 0) or 0)
+    refresh_every = int(cfg.get_path("sampler.refresh_every", 0) or 0)
+    refresh_downscale = int(cfg.get_path("sampler.refresh_downscale", 4))
+    mlogger = MetricLogger(output_file=os.path.join(log_dir, "metrics.json"))
+    from ..utils import tb as tb_lib
+    from ..utils import visualization as vis_lib
+    tbw = tb_lib.TBWriter(os.path.join(log_dir, "tb"))
+    wb = tb_lib.WandbWriter(args.enable_wandb, args.project, args.run_name,
+                            config=dict(cfg), log_dir=log_dir)
+    if vis_freq > 0:
+        os.makedirs(os.path.join(log_dir, "images"), exist_ok=True)
+
+    def visualize(step: int) -> None:
+        """Render every camera of a sweeping timestep to a tiled
+        gt/render/depth/error snapshot (reference tools/train.py:196-246)."""
+        if data is None:
+            return
+        n_vis = max(max_steps // vis_freq, 1)
+        frame = int(np.linspace(0, data.num_frames, n_vis + 1,
+                                endpoint=False, dtype=int)[step // vis_freq])
+        idxs = np.flatnonzero(data.frame_of_image == frame)
+        res = render_loop.render_images(tcfg, state, statics, data, idxs,
+                                        neighbor_map=neighbor_map,
+                                        compute_metrics=True)
+        names = [data.camera_names()[int(data.cam_of_image[i])]
+                 for i in idxs]
+        grid = vis_lib.snapshot_grid(res, names, data.dataset,
+                                     max_depth=tcfg.max_depth)
+        vis_lib.save_png(grid, os.path.join(log_dir, "images",
+                                            f"step_{step}.png"))
+        agg = render_loop.aggregate_metrics(res["metrics"])
+        # sampler error-buffer heatmap (reference buffer-map videos,
+        # tools/train.py:320-350): per-image sampling weight as a
+        # (num_cams, frames) image
+        wts = sampler._weights(train_indices)
+        hm = np.zeros(num_images, np.float32)
+        hm[np.asarray(train_indices)] = wts / max(wts.max(), 1e-12)
+        ncam = max(int(cfg.get_path("data.num_cams", 1)), 1)
+        rows = -(-num_images // ncam)
+        hm = np.pad(hm, (0, rows * ncam - num_images)).reshape(rows, ncam).T
+        hm_img = np.repeat(np.repeat(hm, 8, 0), 8, 1)[..., None].repeat(3, -1)
+        tbw.image("sampler/error_buffer", hm_img, step)
+        wb.image("sampler/error_buffer", hm_img, step)
+        tbw.scalars({f"image_metrics/{k}": v for k, v in agg.items()}, step)
+        tbw.image("image_rendering/gt_rgbs_render_rgbs_depths_error", grid,
+                  step)
+        wb.scalars({f"image_metrics/{k}": v for k, v in agg.items()}, step)
+        wb.image("image_rendering/gt_rgbs_render_rgbs_depths_error", grid,
+                 step)
+
+    def refresh_error_buffer(step: int) -> None:
+        """Recompute every train image's error at low res so rarely-sampled
+        images don't keep stale priorities (reference refreshes pixel error
+        maps from full eval renders, pixel_source.py:948-983)."""
+        res = render_loop.render_images(
+            tcfg, state, statics, data, train_indices,
+            neighbor_map=neighbor_map, compute_metrics=False,
+            downscale=refresh_downscale)
+        for idx, pred, gt in zip(train_indices, res["rgbs"], res["gt_rgbs"]):
+            sampler.update_error(int(idx),
+                                 max(float(np.mean(np.abs(pred - gt))), 1e-6))
+        logger.info(f"error buffer refreshed over {len(train_indices)} "
+                    f"train images at 1/{refresh_downscale} res")
+
+    # coarse-to-fine resolution schedule (base.py:142-146): train at
+    # 1/2^downscale_times resolution, doubling every double_steps. Each
+    # resolution is a distinct static shape -> one re-jit per stage
+    # (jax caches per shape; downscale_times+1 compiles total).
+    rs_double = int(cfg.get_path("res_schedule.double_steps", 0) or 0)
+    rs_times = int(cfg.get_path("res_schedule.downscale_times", 0) or 0)
+
+    def sched_downscale(step: int) -> int:
+        if rs_double <= 0:
+            return 1
+        return 2 ** max(rs_times - step // rs_double, 0)
+
+    t0 = time.time()
+    start_step = int(state.step)
+    for step in range(start_step, max_steps):
+        if vis_freq > 0 and step % vis_freq == 0:
+            visualize(step)
+        if refresh_every > 0 and data is not None and step > 0 \
+                and step % refresh_every == 0:
+            refresh_error_buffer(step)
+        ds = sched_downscale(step)
+        if mesh is None:
+            idxs = [int(sampler.propose(train_indices))]
+            state, metrics = step_fn(state, get_batch(idxs[0], ds))
+        elif multiprocess:
+            # deterministic cross-host picks; each process builds only its
+            # local devices' images (no cross-host data exchange)
+            idxs = distributed.process_train_indices(
+                train_indices, args.seed, step, mesh)
+            local = data_parallel.stack_batches(
+                [get_batch(int(i), ds) for i in idxs])
+            gbatch = distributed.host_local_batch_to_global(local, mesh)
+            state, metrics = step_fn(state, gbatch)
+        else:
+            idxs = [int(sampler.propose(train_indices))
+                    for _ in range(mesh.size)]
+            stacked = data_parallel.stack_batches(
+                [get_batch(i, ds) for i in idxs])
+            state, metrics = step_fn(state,
+                                     data_parallel.shard_batch(stacked, mesh))
+        if not np.isfinite(float(metrics["loss"])):
+            raise RuntimeError(f"non-finite loss at step {step}: "
+                               f"{ {k: float(v) for k, v in metrics.items()} }")
+        err = float(jnp.maximum(1e-6, metrics["loss"]))
+        for i in idxs:
+            sampler.update_error(int(i), err)
+        if step % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()
+                 if not k.startswith("loss/")}
+            mlogger.update(**m)
+            mlogger.dump(step)
+            tbw.scalars({k: float(v) for k, v in metrics.items()}, step)
+            wb.scalars({k: float(v) for k, v in metrics.items()}, step)
+            logger.info(
+                f"step {step}/{max_steps} " +
+                " ".join(f"{k}={v:.4f}" for k, v in m.items()) +
+                f" ({(time.time() - t0) / max(step - start_step, 1):.3f}s/it)")
+        if step > 0 and step % ckpt_every == 0:
+            path = checkpoint.save_checkpoint(
+                os.path.join(log_dir, "checkpoints"), state)
+            logger.info(f"checkpoint: {path}")
+
+    path = checkpoint.save_checkpoint(
+        os.path.join(log_dir, "checkpoints"), state, step=max_steps)
+    logger.info(f"final checkpoint: {path}")
+
+    # final quick eval on the test split (real scenes)
+    if data is not None:
+        _, test_indices = data.split_train_test(
+            cfg.get_path("data.test_image_stride", 10))
+        if len(test_indices):
+            results = render_loop.render_images(
+                tcfg, state, statics, data, test_indices[:20],
+                neighbor_map=neighbor_map, compute_metrics=True)
+            agg = render_loop.aggregate_metrics(results["metrics"])
+            logger.info(f"test metrics: {agg}")
+            import json
+
+            with open(os.path.join(log_dir, "test_metrics.json"), "w") as f:
+                json.dump(agg, f, indent=2)
+    tbw.close()
+    wb.close()
+
+
+if __name__ == "__main__":
+    main()
