@@ -105,6 +105,29 @@ def _dot(a, b, contract=((1,), (0,)), precision=None):
 # A/B'd on v5e at the training operating point; switchable for experiments.
 TRI_MODE = os.environ.get("BILATERAL_TRI_MODE", "scan")
 
+# suffix-sum (backward-only) implementation:
+#   "scan" — the Hillis-Steele VPU scan (7 rounds over (CHUNK, PIX) f32)
+#   "mxuK" — tri_upper @ x as K bf16 limb matmuls at DEFAULT precision: the
+#     0/1 triangular matrix is EXACT in bf16, so splitting x into K bf16
+#     limbs (x = hi + mid + ...) gives K one-pass MXU matmuls with f32
+#     accumulation — rel err ~2^-8K (K=3 ≈ f32) at K passes vs HIGHEST's 6,
+#     and moves the suffix off the VPU, which bounds the backward kernel.
+SUF_MODE = os.environ.get("BILATERAL_SUF_MODE", "scan")
+
+
+def _dot_limbs(tri_bf16, x, limbs):
+    """tri (exact bf16 0/1) @ x via bf16 limb decomposition of x."""
+    out = jnp.zeros_like(x)
+    rem = x
+    for _ in range(limbs):
+        hi = rem.astype(jnp.bfloat16)
+        out = out + jax.lax.dot_general(
+            tri_bf16, hi, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+        rem = rem - hi.astype(jnp.float32)
+    return out
+
 
 def _chunk_transmittance(alpha):
     """Exclusive within-chunk transmittance T[k] = prod_{j<k} (1 - alpha[j]).
@@ -116,6 +139,10 @@ def _chunk_transmittance(alpha):
     full (CHUNK, PIX) compares — 7 full-width ops saved per scan."""
     if TRI_MODE == "matmul":
         return jnp.exp(_dot(_tri(strict_lower=True), jnp.log1p(-alpha)))
+    if TRI_MODE.startswith("mxu"):
+        tri = _tri(strict_lower=True).astype(jnp.bfloat16)
+        return jnp.exp(_dot_limbs(tri, jnp.log1p(-alpha),
+                                  int(TRI_MODE[3:])))
     row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
     om = 1.0 - alpha
     s = jnp.where(row >= 1, pltpu.roll(om, 1, axis=0), 1.0)
@@ -130,6 +157,9 @@ def _suffix_excl(x):
     """Exclusive reverse prefix sum along axis 0 of (CHUNK, PIX)."""
     if TRI_MODE == "matmul":
         return _dot(_tri(strict_lower=False), x)
+    if SUF_MODE.startswith("mxu"):
+        tri = _tri(strict_lower=False).astype(jnp.bfloat16)
+        return _dot_limbs(tri, x, int(SUF_MODE[3:]))
     row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
     # pltpu.roll takes non-negative shifts; roll by CHUNK-k == roll by -k
     s = jnp.where(row < CHUNK - 1, pltpu.roll(x, CHUNK - 1, axis=0), 0.0)
