@@ -102,8 +102,22 @@ def _dot(a, b, contract=((1,), (0,)), precision=None):
 # prefix/suffix implementation for the within-chunk compositing order:
 #   "matmul" — strictly-triangular (CHUNK, CHUNK) @ (CHUNK, PIX) at HIGHEST
 #   "scan"   — exact f32 Hillis-Steele over sublanes on the VPU (pltpu.roll)
+#   "mxuK"   — K bf16 limb matmuls (see SUF_MODE below)
 # A/B'd on v5e at the training operating point; switchable for experiments.
-TRI_MODE = os.environ.get("BILATERAL_TRI_MODE", "scan")
+_MODE_RE = __import__("re").compile(r"^(scan|matmul|mxu[1-9])$")
+
+
+def _mode(env: str, default: str) -> str:
+    v = os.environ.get(env, default)
+    if not _MODE_RE.match(v):
+        raise ValueError(
+            f"{env}={v!r}: expected 'scan', 'matmul', or 'mxuK' with K in "
+            "1..9 (K=0 would silently zero the scan; non-integer K is a "
+            "trace-time crash)")
+    return v
+
+
+TRI_MODE = _mode("BILATERAL_TRI_MODE", "scan")
 
 # suffix-sum (backward-only) implementation:
 #   "scan" — the Hillis-Steele VPU scan (7 rounds over (CHUNK, PIX) f32)
@@ -112,7 +126,7 @@ TRI_MODE = os.environ.get("BILATERAL_TRI_MODE", "scan")
 #     limbs (x = hi + mid + ...) gives K one-pass MXU matmuls with f32
 #     accumulation — rel err ~2^-8K (K=3 ≈ f32) at K passes vs HIGHEST's 6,
 #     and moves the suffix off the VPU, which bounds the backward kernel.
-SUF_MODE = os.environ.get("BILATERAL_SUF_MODE", "scan")
+SUF_MODE = _mode("BILATERAL_SUF_MODE", "scan")
 
 
 def _dot_limbs(tri_bf16, x, limbs):
@@ -154,12 +168,16 @@ def _chunk_transmittance(alpha):
 
 
 def _suffix_excl(x):
-    """Exclusive reverse prefix sum along axis 0 of (CHUNK, PIX)."""
-    if TRI_MODE == "matmul":
-        return _dot(_tri(strict_lower=False), x)
+    """Exclusive reverse prefix sum along axis 0 of (CHUNK, PIX).
+
+    SUF_MODE (the suffix-specific knob) takes precedence; only when it is
+    left at its default does TRI_MODE=matmul also pull the suffix onto the
+    HIGHEST-precision MXU path (the original all-matmul A/B configuration)."""
     if SUF_MODE.startswith("mxu"):
         tri = _tri(strict_lower=False).astype(jnp.bfloat16)
         return _dot_limbs(tri, x, int(SUF_MODE[3:]))
+    if TRI_MODE == "matmul" or SUF_MODE == "matmul":
+        return _dot(_tri(strict_lower=False), x)
     row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
     # pltpu.roll takes non-negative shifts; roll by CHUNK-k == roll by -k
     s = jnp.where(row < CHUNK - 1, pltpu.roll(x, CHUNK - 1, axis=0), 0.0)

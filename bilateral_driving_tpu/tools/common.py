@@ -44,11 +44,16 @@ CONFIG_SCHEMA = {
         "bilateral_grid_shape"),
     "render": _leaves("near_plane", "far_plane", "radius_clip", "antialiased",
                       "isect_capacity"),
-    "losses": _leaves(
-        "rgb", "ssim", "mask", "mask_loss_type", "depth", "depth_loss_type",
-        "depth_inverse", "depth_normalize", "depth_reduction", "max_depth",
-        "lidar_w_decay", "affine", "affine_inverse", "opacity_entropy",
-        "inverse_depth_smoothness", "rigid_temporal", "smpl_joint_smooth"),
+    "losses": {
+        **_leaves(
+            "rgb", "ssim", "mask", "mask_loss_type", "depth",
+            "depth_loss_type", "depth_inverse", "depth_normalize",
+            "depth_reduction", "max_depth", "lidar_w_decay", "affine",
+            "affine_inverse", "opacity_entropy", "inverse_depth_smoothness",
+            "rigid_temporal", "smpl_joint_smooth"),
+        # dynamic-region weighted rgb loss (reference base.py:638-653)
+        "dynamic_region": _leaves("w", "start_from"),
+    },
     "background_reg": {"*": {"*": True}},
     "smpl_reg": {"*": {"*": True}},
     "density": {f: True for f in density.DensityConfig._fields},
@@ -67,7 +72,8 @@ CONFIG_SCHEMA = {
                    "enable_temporal_smoothing", "smooth_probability",
                    "distribution_span"),
     "smpl": _leaves("model_path"),
-    "logging": _leaves("log_every", "ckpt_every", "vis_freq"),
+    "logging": _leaves("log_every", "ckpt_every", "vis_freq",
+                       "metrics_flush_every"),
     "res_schedule": _leaves("double_steps", "downscale_times"),
     "optim": {"*": _leaves("lr", "lr_final", "warmup_steps")},
 }
@@ -138,6 +144,12 @@ def trainer_config_from(cfg: ConfigDict, num_images: int,
             "distribution_span", 1.5),
         w_rigid_temporal=losses.get("rigid_temporal", 0.0),
         w_smpl_joint_smooth=losses.get("smpl_joint_smooth", 0.0),
+        # presence of the dynamic_region block enables it at the reference's
+        # default weight 1.0 (base.py:640-641)
+        w_dynamic_region=(losses.get("dynamic_region") or {}).get("w", 1.0)
+        if losses.get("dynamic_region") is not None else 0.0,
+        dynamic_region_start_from=int(
+            (losses.get("dynamic_region") or {}).get("start_from", 0)),
         density=den,
         scene_scale=scene_scale,
         scene_origin=tuple(float(x) for x in scene_origin),

@@ -240,6 +240,32 @@ def main():
             return 1
         return 2 ** max(rs_times - step // rs_double, 0)
 
+    # ---- async metrics delivery (round-4): the loop never fetches a scalar
+    # for the step it just dispatched. Per-step device->host syncs cost
+    # ~24-28 ms each on this backend (ROADMAP timing finding #2) — more than
+    # a whole train step — so the NaN guard and the sampler's error updates
+    # run off a pending window flushed with ONE batched device_get every
+    # `metrics_flush_every` steps. While the window fills, the host keeps
+    # dispatching: batch assembly and H2D transfers overlap device compute.
+    flush_every = max(int(cfg.get_path("logging.metrics_flush_every",
+                                       min(log_every, 50)) or 1), 1)
+    pending: list = []   # (step, idxs, device metrics dict)
+
+    def flush_pending() -> None:
+        if not pending:
+            return
+        losses = jax.device_get([m["loss"] for (_, _, m) in pending])
+        for (s, idxs_s, m), lv in zip(pending, losses):
+            lv = float(lv)
+            if not np.isfinite(lv):
+                raise RuntimeError(
+                    f"non-finite loss at step {s} (detected <= "
+                    f"{flush_every} steps later): "
+                    f"{ {k: float(v) for k, v in jax.device_get(m).items()} }")
+            for i in idxs_s:
+                sampler.update_error(int(i), max(lv, 1e-6))
+        pending.clear()
+
     t0 = time.time()
     start_step = int(state.step)
     for step in range(start_step, max_steps):
@@ -268,27 +294,28 @@ def main():
                 [get_batch(i, ds) for i in idxs])
             state, metrics = step_fn(state,
                                      data_parallel.shard_batch(stacked, mesh))
-        if not np.isfinite(float(metrics["loss"])):
-            raise RuntimeError(f"non-finite loss at step {step}: "
-                               f"{ {k: float(v) for k, v in metrics.items()} }")
-        err = float(jnp.maximum(1e-6, metrics["loss"]))
-        for i in idxs:
-            sampler.update_error(int(i), err)
+        pending.append((step, idxs, metrics))
+        if step % flush_every == 0 or step == max_steps - 1:
+            flush_pending()
         if step % log_every == 0:
-            m = {k: float(v) for k, v in metrics.items()
+            flush_pending()
+            fetched = jax.device_get(metrics)
+            m = {k: float(v) for k, v in fetched.items()
                  if not k.startswith("loss/")}
             mlogger.update(**m)
             mlogger.dump(step)
-            tbw.scalars({k: float(v) for k, v in metrics.items()}, step)
-            wb.scalars({k: float(v) for k, v in metrics.items()}, step)
+            tbw.scalars({k: float(v) for k, v in fetched.items()}, step)
+            wb.scalars({k: float(v) for k, v in fetched.items()}, step)
             logger.info(
                 f"step {step}/{max_steps} " +
                 " ".join(f"{k}={v:.4f}" for k, v in m.items()) +
                 f" ({(time.time() - t0) / max(step - start_step, 1):.3f}s/it)")
         if step > 0 and step % ckpt_every == 0:
+            flush_pending()
             path = checkpoint.save_checkpoint(
                 os.path.join(log_dir, "checkpoints"), state)
             logger.info(f"checkpoint: {path}")
+    flush_pending()
 
     path = checkpoint.save_checkpoint(
         os.path.join(log_dir, "checkpoints"), state, step=max_steps)

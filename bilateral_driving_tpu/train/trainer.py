@@ -100,6 +100,11 @@ class TrainerConfig:
     smpl_reg: tuple = ()
     w_rigid_temporal: float = 0.0
     w_smpl_joint_smooth: float = 0.0
+    # dynamic-region weighted rgb loss (base.py:638-653): after
+    # `start_from`, add w * L1(gt, pred) restricted to pixels where a
+    # dynamic-classes-only opacity render exceeds 0.2
+    w_dynamic_region: float = 0.0
+    dynamic_region_start_from: int = 0
 
     # density control
     density: density.DensityConfig = density.DensityConfig()
@@ -291,6 +296,22 @@ def forward(cfg: TrainerConfig, params, statics, masks, batch,
         "labels": labels,
     }
 
+    if cfg.w_dynamic_region > 0 and len(gaussian_classes(cfg)) > 1 \
+            and not in_test_set and not novel_view:
+        # dynamic-classes-only opacity render for the dynamic-region loss
+        # (scene_graph.py:306-312, under torch.no_grad there). Zeroing the
+        # Background opacities is exactly equivalent to rasterizing the
+        # non-Background subset: zero-opacity entries are culled by the
+        # tight-radius/alpha gates and occlude nothing.
+        sg = jax.lax.stop_gradient
+        dyn_op = jnp.where(labels != nodes.NODE_CLASS_IDS["Background"],
+                           merged.opacities, 0.0)
+        dyn = pipeline.rasterize(
+            sg(merged.means), sg(merged.quats), sg(merged.scales),
+            sg(dyn_op), sg(merged.rgbs), sg(viewmat), batch["intrinsics"],
+            w, h, rcfg)
+        outputs["Dynamic_opacity"] = sg(dyn["alpha"])
+
     # sky (base.py:489-497)
     if cfg.sky_model == "envlight":
         rgb_sky = sky_mod.envlight_color(params["Sky"], batch["viewdirs"],
@@ -391,6 +412,19 @@ def compute_losses(cfg: TrainerConfig, params, statics, masks, outputs,
             loss_type=cfg.depth_loss_type, normalize=cfg.depth_normalize,
             use_inverse_depth=cfg.depth_inverse, max_depth=cfg.max_depth,
             reduction=cfg.depth_reduction)
+
+    if cfg.w_dynamic_region > 0 and "Dynamic_opacity" in outputs:
+        # masked L1 over pixels the dynamic-only render covers (base.py:
+        # 644-653: threshold 0.2, mean over masked elements, active only
+        # after `start_from`; zero when the mask is empty)
+        dyn_mask = ((outputs["Dynamic_opacity"][..., 0] > 0.2)
+                    .astype(jnp.float32) * valid)
+        cnt = jnp.sum(dyn_mask)
+        l1_sum = jnp.sum(jnp.abs(gt_rgb - pred_rgb) * dyn_mask[..., None])
+        active = (step > cfg.dynamic_region_start_from) & (cnt > 0)
+        loss["vehicle_region_rgb"] = jnp.where(
+            active, cfg.w_dynamic_region * l1_sum
+            / jnp.maximum(cnt * 3.0, 1.0), 0.0)
 
     if cfg.w_opacity_entropy > 0:
         loss["opacity_entropy"] = cfg.w_opacity_entropy * \

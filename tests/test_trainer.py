@@ -231,3 +231,39 @@ class TestLosses:
         assert float(losses.inverse_depth_smoothness(flat, img)) == 0.0
         bumpy = jax.random.uniform(jax.random.key(0), (16, 16))
         assert float(losses.inverse_depth_smoothness(bumpy, img)) > 0.0
+
+    def test_dynamic_region_loss(self):
+        """Dynamic-region weighted rgb loss (reference base.py:638-653):
+        a dynamic-classes-only opacity render gates a masked L1 that starts
+        after `start_from` and matches a hand-computed masked mean."""
+        key = jax.random.key(3)
+        scene = synthetic.make_scene(key, num_bg=300, width=64, height=48)
+        cfg = small_cfg(use_rigid=True, w_dynamic_region=2.0,
+                        dynamic_region_start_from=5)
+        params, statics, aux, masks = build_synthetic(key, cfg, scene, 512)
+        batch = synthetic.make_batch(
+            scene, 1, jax.random.uniform(key, (48, 64, 3)))
+        full = trainer.merge_statics(statics, aux)
+
+        out = trainer.forward(cfg, params, full, masks, batch, 10)
+        assert "Dynamic_opacity" in out
+        dyn = np.asarray(out["Dynamic_opacity"][..., 0])
+        assert (dyn > 0.2).any(), "rigid car should cover some pixels"
+        # dynamic-only opacity is sparser than the full render's
+        assert dyn.sum() < float(jnp.sum(out["opacity"]))
+
+        loss = trainer.compute_losses(cfg, params, full, masks, out, batch,
+                                      jnp.asarray(10))
+        mask = (dyn > 0.2).astype(np.float32)
+        l1 = np.abs(np.asarray(batch["pixels"]) - np.asarray(out["rgb"]))
+        want = 2.0 * (l1 * mask[..., None]).sum() / (mask.sum() * 3.0)
+        np.testing.assert_allclose(float(loss["vehicle_region_rgb"]), want,
+                                   rtol=1e-5)
+        # inactive before start_from
+        loss0 = trainer.compute_losses(cfg, params, full, masks, out, batch,
+                                       jnp.asarray(5))
+        assert float(loss0["vehicle_region_rgb"]) == 0.0
+        # test-set forward never renders the mask (torch.no_grad parity)
+        out_t = trainer.forward(cfg, params, full, masks, batch, 10,
+                                in_test_set=True)
+        assert "Dynamic_opacity" not in out_t
