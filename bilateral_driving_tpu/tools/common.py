@@ -43,7 +43,8 @@ CONFIG_SCHEMA = {
         "envlight_resolution", "max_steps", "ms_grid", "guidance_factor",
         "bilateral_grid_shape"),
     "render": _leaves("near_plane", "far_plane", "radius_clip", "antialiased",
-                      "isect_capacity"),
+                      "isect_capacity", "capacity_policy", "capacity_margin",
+                      "capacity_floor", "rebucket_after"),
     "losses": {
         **_leaves(
             "rgb", "ssim", "mask", "mask_loss_type", "depth",

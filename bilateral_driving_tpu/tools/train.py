@@ -12,6 +12,7 @@ eval snapshots, JSONL metrics, and full-state orbax checkpoints.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import functools
 import os
 import time
@@ -243,19 +244,44 @@ def main():
     # ---- async metrics delivery (round-4): the loop never fetches a scalar
     # for the step it just dispatched. Per-step device->host syncs cost
     # ~24-28 ms each on this backend (ROADMAP timing finding #2) — more than
-    # a whole train step — so the NaN guard and the sampler's error updates
-    # run off a pending window flushed with ONE batched device_get every
-    # `metrics_flush_every` steps. While the window fills, the host keeps
-    # dispatching: batch assembly and H2D transfers overlap device compute.
+    # a whole train step — so the NaN guard, the sampler's error updates, and
+    # the capacity-overflow watchdog all run off a pending window flushed
+    # with ONE batched device_get every `metrics_flush_every` steps. While
+    # the window fills, the host keeps dispatching: batch assembly and H2D
+    # transfers overlap device compute.
     flush_every = max(int(cfg.get_path("logging.metrics_flush_every",
                                        min(log_every, 50)) or 1), 1)
     pending: list = []   # (step, idxs, device metrics dict)
 
+    # capacity-overflow recovery: densification can outgrow the intersection
+    # bucket mid-run; without a policy a capacity-starved run silently
+    # renders with dropped intersections for its remaining steps. Policies:
+    #   rebucket (default) — after `rebucket_after` consecutive overflowing
+    #     flush windows, grow isect_capacity to the next bucket fitting the
+    #     observed pre-truncation num_isects and re-jit the step (one
+    #     recompile, amortized — the bucketing policy of
+    #     pipeline.autotune_capacity);
+    #   error — raise on the first overflowing window;
+    #   ignore — metric-only (the pre-round-4 behavior).
+    from ..ops import pipeline
+    cap_policy = cfg.get_path("render.capacity_policy", "rebucket")
+    if cap_policy not in ("rebucket", "error", "ignore"):
+        raise ValueError(f"render.capacity_policy={cap_policy!r}")
+    cap_margin = float(cfg.get_path("render.capacity_margin", 1.35))
+    cap_floor = int(cfg.get_path("render.capacity_floor",
+                                 pipeline.CAP_BUCKET))
+    rebucket_after = int(cfg.get_path("render.rebucket_after", 2))
+    cap_state = {"bad_windows": 0, "max_isects": 0}
+
     def flush_pending() -> None:
+        nonlocal tcfg, step_fn
         if not pending:
             return
-        losses = jax.device_get([m["loss"] for (_, _, m) in pending])
-        for (s, idxs_s, m), lv in zip(pending, losses):
+        vals = jax.device_get([
+            (m["loss"], m.get("isect_overflow", 0), m.get("num_isects", 0))
+            for (_, _, m) in pending])
+        window_overflow = 0.0
+        for (s, idxs_s, m), (lv, ov, ni) in zip(pending, vals):
             lv = float(lv)
             if not np.isfinite(lv):
                 raise RuntimeError(
@@ -264,7 +290,40 @@ def main():
                     f"{ {k: float(v) for k, v in jax.device_get(m).items()} }")
             for i in idxs_s:
                 sampler.update_error(int(i), max(lv, 1e-6))
+            window_overflow = max(window_overflow, float(ov))
+            cap_state["max_isects"] = max(cap_state["max_isects"], int(ni))
+        last_step = pending[-1][0]
         pending.clear()
+        if cap_policy == "ignore" or window_overflow <= 0:
+            cap_state["bad_windows"] = 0
+            cap_state["max_isects"] = 0
+            return
+        if cap_policy == "error":
+            raise RuntimeError(
+                f"intersection capacity {tcfg.isect_capacity} overflowed "
+                f"(pre-truncation num_isects={cap_state['max_isects']}) at "
+                f"step <= {last_step}; render.capacity_policy=error")
+        cap_state["bad_windows"] += 1
+        if cap_state["bad_windows"] < rebucket_after:
+            return
+        new_cap = max(
+            pipeline.autotune_capacity(cap_state["max_isects"],
+                                       margin=cap_margin, floor=cap_floor),
+            tcfg.isect_capacity + pipeline.CAP_BUCKET
+            if cap_floor >= pipeline.CAP_BUCKET
+            else 2 * tcfg.isect_capacity)
+        logger.warning(
+            f"isect overflow persisted {cap_state['bad_windows']} flush "
+            f"windows (num_isects={cap_state['max_isects']}): re-bucketing "
+            f"capacity {tcfg.isect_capacity} -> {new_cap} (one recompile)")
+        tcfg = dataclasses.replace(tcfg, isect_capacity=new_cap)
+        if mesh is not None:
+            step_fn = data_parallel.parallel_train_step(tcfg, statics, mesh)
+        else:
+            step_fn = jax.jit(functools.partial(trainer.train_step, tcfg,
+                                                statics))
+        cap_state["bad_windows"] = 0
+        cap_state["max_isects"] = 0
 
     t0 = time.time()
     start_step = int(state.step)
