@@ -413,11 +413,18 @@ def load_scene(
             cam_of.append(ci)
 
     # ---- per-camera ego-vehicle masks (pixel_source.py:261-281) ----
+    # search order: explicit ego_mask_dir -> `<scene>/ego_masks/` (written
+    # by the converters, possibly placeholders) -> the reference-style
+    # repo-relative `data/ego_masks/<dataset>` asset path
     egocar = None
-    if ego_mask_dir is None and dataset is not None:
-        ego_mask_dir = os.path.join("data", "ego_masks",
-                                    dataset.split("/")[0])
-    if ego_mask_dir is not None and os.path.isdir(ego_mask_dir):
+    candidates = [ego_mask_dir] if ego_mask_dir is not None else [
+        os.path.join(scene_dir, "ego_masks"),
+        os.path.join("data", "ego_masks", dataset.split("/")[0])
+        if dataset is not None else None,
+    ]
+    ego_mask_dir = next((d for d in candidates
+                         if d is not None and os.path.isdir(d)), None)
+    if ego_mask_dir is not None:
         rows = []
         any_found = False
         for cam in cameras:
@@ -428,11 +435,20 @@ def load_scene(
                 m = np.asarray(Image.fromarray(m).resize((W, H),
                                                          Image.NEAREST))
                 rows.append((m > 0).astype(np.float32))
-                any_found = True
+                any_found = any_found or bool(rows[-1].any())
             else:
                 rows.append(np.zeros((H, W), np.float32))
         if any_found:
             egocar = np.stack(rows)
+    if egocar is None and dataset is not None:
+        from ..preprocess.ego_masks import NEEDS_EGO_MASKS
+        if dataset.split("/")[0] in NEEDS_EGO_MASKS:
+            import logging
+            logging.getLogger("bilateral_driving_tpu").warning(
+                f"no (non-placeholder) ego-vehicle masks found for "
+                f"{dataset!r} (searched {candidates}): ego-car pixels will "
+                f"enter the losses. See "
+                f"bilateral_driving_tpu/preprocess/ego_masks.py.")
 
     lidar_pts = []
     if load_lidar and os.path.isdir(os.path.join(scene_dir, "lidar")):

@@ -37,6 +37,11 @@ def parse_args():
                             "objects"])
     p.add_argument("--checkpoint", default=None,
                    help="SegFormer checkpoint for sky_masks")
+    p.add_argument("--ego_mask_source", default=None,
+                   help="directory of per-camera ego-vehicle masks "
+                        "(<cam>.png) to import into each converted scene; "
+                        "without it, all-zero placeholders + a README are "
+                        "written (preprocess/ego_masks.py)")
     return p.parse_args()
 
 
@@ -105,6 +110,38 @@ def main():
                 out = conv.convert_scene(name, out_name=f"{i:03d}")
                 outputs.append(out)
                 print(f"scene {name} -> {out}")
+
+    if outputs:
+        # ego-vehicle mask assets per converted scene: import the user's
+        # set or write documented placeholders (preprocess/ego_masks.py;
+        # reference bundles these at data/ego_masks/<dataset>/<cam>.png)
+        import os
+
+        from PIL import Image
+
+        from . import ego_masks as em
+
+        for out in outputs:
+            img_dir = os.path.join(out, "images")
+            if not os.path.isdir(img_dir):
+                continue
+            cams = sorted({
+                int(f.rsplit("_", 1)[1].split(".")[0])
+                for f in os.listdir(img_dir) if "_" in f})
+            sizes = {}
+            for cam in cams:
+                first = sorted(f for f in os.listdir(img_dir)
+                               if f.endswith(f"_{cam}.jpg")
+                               or f.endswith(f"_{cam}.png"))[0]
+                with Image.open(os.path.join(img_dir, first)) as im:
+                    sizes[cam] = im.size
+            if args.ego_mask_source:
+                n = em.import_masks(args.ego_mask_source, out, cams, sizes)
+                print(f"ego masks: imported {n} -> {em.scene_mask_dir(out)}")
+            else:
+                d = em.write_placeholders(out, cams, sizes)
+                print(f"ego masks: placeholders at {d} "
+                      f"(replace with real masks; see README.txt)")
 
     if "sky_masks" in keys:
         from . import masks

@@ -514,34 +514,50 @@ def _box_to_xywh(o2w, size, w2c, K, width, height):
     return np.array([x0, y0, x1 - x0, y1 - y0])
 
 
-def run_tracker(scene_dir: str, camera_list: List[int]):
-    """Load per-camera predicted-track pkls from
-    `<scene>/humanpose/<cam>.pkl` (the 4D-Humans tracker's native output).
+def run_tracker(scene_dir: str, camera_list: List[int], predictor=None):
+    """Per-camera predicted human tracks, resolved in precedence order:
 
-    The monocular predictor itself (reference extract_smpl.py:27-60, an HMR2
-    transformer with ~2 GB of external checkpoints) is intentionally not
-    bundled; run 4D-Humans/PHALP — or any tracker emitting the same frame
-    schema — offline and drop its pkls here."""
+    1. `<scene>/humanpose/<cam>.pkl` — a user-provided tracker output (any
+       tracker emitting the 4D-Humans frame schema);
+    2. the `hmr_predictor.run_4dhumans` wrapper (reference
+       extract_smpl.py:196-287): cached `humanpose/temp/phalp_output/
+       cam_<cam>.pkl`, else the PHALP+HMR2 predictor — checkpoint-gated;
+       its ~2 GB external checkpoints are not bundled (the reference also
+       downloads them at runtime), so without the stack installed this
+       raises with instructions."""
+    from . import hmr_predictor
+
     preds = {}
+    missing = []
     for cam in camera_list:
         path = os.path.join(scene_dir, "humanpose", f"{cam}.pkl")
-        if not os.path.exists(path):
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                preds[cam] = pickle.load(f)
+        else:
+            missing.append(cam)
+    if missing:
+        try:
+            preds.update(hmr_predictor.run_4dhumans(
+                scene_dir, missing, predictor=predictor))
+        except FileNotFoundError as e:
             raise FileNotFoundError(
-                f"no predicted human tracks at {path}; run a 4D-Humans-style "
-                "tracker offline (external checkpoints are not bundled) and "
-                "place its per-camera pkl outputs under humanpose/")
-        with open(path, "rb") as f:
-            preds[cam] = pickle.load(f)
+                f"no predicted human tracks for cameras {missing} under "
+                f"{scene_dir}/humanpose and the bundled 4D-Humans wrapper "
+                f"could not run: {e}") from e
     return preds
 
 
 def process_scene(scene_dir: str, gt_raw_by_cam: Dict[int, Dict],
                   num_frames: int,
-                  pred_raw_by_cam: Optional[Dict[int, Dict]] = None) -> str:
-    """Full postprocess for one scene: parse -> match -> merge -> smpl.pkl."""
+                  pred_raw_by_cam: Optional[Dict[int, Dict]] = None,
+                  predictor=None) -> str:
+    """Full postprocess for one scene: parse -> match -> merge -> smpl.pkl.
+    `predictor` (optional) feeds `run_tracker`'s 4D-Humans wrapper when no
+    per-camera pkls exist yet."""
     cams = sorted(gt_raw_by_cam.keys())
     if pred_raw_by_cam is None:
-        pred_raw_by_cam = run_tracker(scene_dir, cams)
+        pred_raw_by_cam = run_tracker(scene_dir, cams, predictor=predictor)
     for c in cams:
         # parse_phalp_tracks enumerates raw frames positionally; a tracker
         # pkl must cover the video exactly (reference match_and_postprocess

@@ -182,3 +182,42 @@ def test_process_scene_frame_count_mismatch(tracked_scene, tmp_path):
     bad = {0: dict(list(pr_raw[0].items())[:-1]), 1: pr_raw[1]}
     with pytest.raises(ValueError, match="frames"):
         st.process_scene(str(tmp_path), gt_raw, F, pred_raw_by_cam=bad)
+
+
+def test_hmr_wrapper_mocked_predictor(tracked_scene, tmp_path):
+    """The 4D-Humans wrapper (preprocess/hmr_predictor.py, reference
+    extract_smpl.py:196-287) drives process_scene end-to-end with an
+    injected predictor, writes the reference's per-camera cache
+    (cam_<id>.pkl), and serves re-runs from that cache."""
+    gt_raw, pr_raw = tracked_scene
+    scene = str(tmp_path)
+    img_dir = os.path.join(scene, "images")
+    os.makedirs(img_dir)
+    for fi in range(F):
+        for cam in (0, 1):
+            open(os.path.join(img_dir, f"{fi:03d}_{cam}.jpg"), "wb").close()
+
+    calls = []
+
+    def mock_predictor(image_paths, cam_id):
+        assert len(image_paths) == F
+        calls.append(cam_id)
+        return pr_raw[cam_id]
+
+    path = st.process_scene(scene, gt_raw, F, predictor=mock_predictor)
+    assert os.path.exists(path)
+    assert sorted(calls) == [0, 1]
+    from bilateral_driving_tpu.preprocess import hmr_predictor as hp
+    assert os.path.exists(hp.cache_path(scene, 0))
+    assert os.path.exists(hp.cache_path(scene, 1))
+
+    # re-run without a predictor: served entirely from the cache (the
+    # gated real stack is never touched), identical output
+    os.remove(path)
+    path2 = st.process_scene(scene, gt_raw, F)
+    assert os.path.exists(path2)
+    assert calls == [0, 1]   # predictor not called again
+
+    # without images/ and without caches the wrapper stays loudly gated
+    with pytest.raises(FileNotFoundError, match="4D-Humans|images"):
+        st.run_tracker(str(tmp_path / "empty"), [0])
