@@ -134,6 +134,14 @@ def aggregate_metrics(per_image: List[Dict]) -> Dict[str, float]:
         vals = [m[k] for m in per_image if k in m and np.isfinite(m[k])]
         if vals:
             out[k] = float(np.mean(vals))
+    if per_image and "lpips" not in out:
+        # make the absence visible in every artifact, not just in code: the
+        # pure-JAX LPIPS port is present but its VGG weight npz cannot be
+        # exported in this environment (no torchvision, no egress) — see
+        # tools/export_lpips_weights.py
+        out["lpips"] = None
+        out["lpips_note"] = "null: VGG weights not vendored " \
+            "(tools/export_lpips_weights.py)"
     return out
 
 

@@ -85,9 +85,14 @@ class WandbWriter:
     def scalars(self, metrics: Dict[str, float], step: int) -> None:
         if self._run is None:
             return
+        clean = {}
+        for k, v in metrics.items():
+            try:
+                clean[k] = float(v)
+            except (TypeError, ValueError):
+                continue   # non-numeric markers (e.g. lpips=None)
         try:
-            self._run.log({k: float(v) for k, v in metrics.items()},
-                          step=step)
+            self._run.log(clean, step=step)
         except (TypeError, ValueError):
             pass
 
