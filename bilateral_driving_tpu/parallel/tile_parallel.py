@@ -95,3 +95,135 @@ def make_render_fn(mesh: Mesh, width: int, height: int,
     return jax.jit(functools.partial(
         tile_sharded_rasterize, mesh, width=width, height=height, cfg=cfg,
         axis=axis))
+
+
+# --------------------------------------------------------------------------
+# tile-axis TRAINING (round 4): full loss + backward + refinement over bands
+# --------------------------------------------------------------------------
+#
+# Design. Inside shard_map over the `tile` axis, each chip runs the COMPLETE
+# trainer step function (train/trainer.py compute_grads) with one
+# substitution: the rasterizer renders only this chip's horizontal band
+# (shifted principal point, exactly `tile_sharded_rasterize`'s trick) and
+# `all_gather`s the band images into the full image. Everything downstream —
+# sky compositing, bilateral appearance, SSIM/depth/BCE losses — runs on the
+# gathered full image, replicated per chip, so no loss needs halo exchange
+# and the semantics are bit-identical to single-chip training. The heavy
+# stage (projection + binning sort + Pallas kernels, fwd AND bwd) is the
+# part that splits ~1/D.
+#
+# Gradient calculus (why a uniform pmean is EXACT, not a heuristic):
+#   * band path (gaussian/camera params -> band render -> all_gather ->
+#     loss): each chip computes the same full-image loss, so the all_gather
+#     transpose (psum_scatter) hands every chip D x its own band's image
+#     cotangent; its param gradient is D x that band's true contribution.
+#     pmean over chips = (1/D) * sum_d (D * band_d) = the full gradient.
+#   * replicated path (sky/appearance params, applied after the gather):
+#     every chip computes the identical full gradient; pmean keeps it.
+# The same argument covers the means2d_dummy screen-gradient sink, so
+# densification statistics are exact too. Refinement then runs replicated
+# (identical per chip) in apply_grads_and_refine — band-local refinement is
+# unnecessary because parameter state is replicated across the tile axis.
+#
+# Composition with the data axis: on a ('data', 'tile') mesh each data row
+# trains its own image over its tile row; grads pmean over BOTH axes (the
+# data-axis pmean is the batch average, matching data_parallel.py).
+
+
+def _banded_rasterize_fn(tile_axis: str, n_band: int):
+    """pipeline.rasterize-compatible callable for use INSIDE shard_map."""
+
+    def rfn(means, quats, scales, opacities, colors, viewmat, K,
+            width, height, cfg, mean2d_sink=None, means2d_dummy=None):
+        bh = band_height(height, n_band)
+        d = jax.lax.axis_index(tile_axis)
+        y0 = (d * bh).astype(K.dtype)
+        Kb = K.at[1, 2].add(-y0)
+        out = pipeline.rasterize(
+            means, quats, scales, opacities, colors, viewmat, Kb,
+            width, bh, cfg.replace(fov_extent=(width, height)),
+            mean2d_sink=mean2d_sink, means2d_dummy=means2d_dummy)
+
+        def g(x):
+            full = jax.lax.all_gather(x, tile_axis, axis=0, tiled=True)
+            return full[:height]
+
+        info = dict(out["info"])
+        info["radii"] = jax.lax.pmax(info["radii"], tile_axis)
+        info["valid"] = jax.lax.pmax(
+            info["valid"].astype(jnp.int32), tile_axis).astype(bool)
+        info["num_isects"] = jax.lax.psum(info["num_isects"], tile_axis)
+        info["overflow"] = jax.lax.pmax(
+            info["overflow"].astype(jnp.int32), tile_axis).astype(bool)
+        return {"rgb": g(out["rgb"]), "depth": g(out["depth"]),
+                "alpha": g(out["alpha"]), "info": info}
+
+    return rfn
+
+
+def tile_train_step(cfg, statics, mesh: Mesh, tile_axis: str = "tile",
+                    data_axis: str | None = None):
+    """Jitted SPMD train step over a tile (or hybrid data x tile) mesh.
+
+    State replicated; batch replicated (tile-only) or stacked over
+    `data_axis` (hybrid). cfg.isect_capacity is PER BAND — a D-band run
+    can use roughly 1/D of the single-chip bucket.
+
+    Returns step(state, batch_or_stacked_batch) -> (state, metrics)."""
+    from ..train import trainer as trainer_mod
+
+    n_band = mesh.shape[tile_axis]
+    axes = ((data_axis,) if data_axis else ()) + (tile_axis,)
+    rfn = _banded_rasterize_fn(tile_axis, n_band)
+
+    def _grads(state, batch):
+        if data_axis is not None:
+            batch = jax.tree.map(lambda x: x[0], batch)
+        total, loss_dict, outputs, g_params, g_dummy = \
+            trainer_mod.compute_grads(cfg, statics, state, batch,
+                                      rasterize_fn=rfn)
+        for ax in axes:
+            total = jax.lax.pmean(total, ax)
+            loss_dict = jax.lax.pmean(loss_dict, ax)
+            g_params = jax.lax.pmean(g_params, ax)
+            g_dummy = jax.lax.pmean(g_dummy, ax) if ax == tile_axis \
+                else jax.lax.psum(g_dummy, ax)   # data: sum over the batch
+        radii = outputs["info"]["radii"]
+        overflow = outputs["info"]["overflow"].astype(jnp.int32)
+        num_isects = outputs["info"]["num_isects"]
+        psnr = -10.0 * jnp.log10(jnp.maximum(
+            jnp.mean((outputs["rgb"] - batch["pixels"]) ** 2), 1e-12))
+        for ax in axes:
+            radii = jax.lax.pmax(radii, ax)
+            overflow = jax.lax.pmax(overflow, ax)
+            psnr = jax.lax.pmean(psnr, ax)
+        if data_axis is not None:
+            num_isects = jax.lax.psum(num_isects, data_axis)
+        return (total, loss_dict, g_params, g_dummy, radii, overflow,
+                num_isects, psnr)
+
+    in_batch_spec = P(data_axis) if data_axis else P()
+    grads_sharded = shard_map(
+        _grads, mesh=mesh,
+        in_specs=(P(), in_batch_spec),
+        out_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state, batch):
+        (total, loss_dict, g_params, g_dummy, radii, overflow, num_isects,
+         psnr) = grads_sharded(state, batch)
+        batch0 = (jax.tree.map(lambda x: x[0], batch)
+                  if data_axis is not None else batch)
+        outputs_stub = {"info": {"radii": radii,
+                                 "overflow": overflow.astype(bool),
+                                 "num_isects": num_isects},
+                        "rgb": batch0["pixels"], "labels": None}
+        new_state, metrics = trainer_mod.apply_grads_and_refine(
+            cfg, statics, state, batch0, total, loss_dict, outputs_stub,
+            g_params, g_dummy)
+        metrics["psnr"] = psnr
+        return new_state, metrics
+
+    return step

@@ -326,6 +326,8 @@ def main():
         cap_state["max_isects"] = 0
 
     t0 = time.time()
+    t_win = t0
+    win_start = int(state.step)
     start_step = int(state.step)
     for step in range(start_step, max_steps):
         if vis_freq > 0 and step % vis_freq == 0:
@@ -365,10 +367,14 @@ def main():
             mlogger.dump(step)
             tbw.scalars({k: float(v) for k, v in fetched.items()}, step)
             wb.scalars({k: float(v) for k, v in fetched.items()}, step)
+            now = time.time()
+            win_ms = (now - t_win) / max(step - win_start, 1) * 1e3
+            t_win, win_start = now, step
             logger.info(
                 f"step {step}/{max_steps} " +
                 " ".join(f"{k}={v:.4f}" for k, v in m.items()) +
-                f" ({(time.time() - t0) / max(step - start_step, 1):.3f}s/it)")
+                f" ({(now - t0) / max(step - start_step, 1):.3f}s/it, "
+                f"win {win_ms:.1f}ms/it)")
         if step > 0 and step % ckpt_every == 0:
             flush_pending()
             path = checkpoint.save_checkpoint(

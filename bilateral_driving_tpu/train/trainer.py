@@ -253,11 +253,14 @@ def merge_statics(statics, aux):
 def forward(cfg: TrainerConfig, params, statics, masks, batch,
             step, in_test_set: bool = False, novel_view: bool = False,
             means2d_dummy=None, opacity_multiplier=None,
-            neighbor_idx=None, time_offset=0.0):
+            neighbor_idx=None, time_offset=0.0, rasterize_fn=None):
     """Full forward pass (base.py:447-500 + scene_graph affine dispatch).
 
     batch: camera_to_world (4,4), intrinsics (3,3), pixels (H,W,3), viewdirs
     (H,W,3), img_idx (), frame_idx (), normed_time (), H/W static via pixels.
+    `rasterize_fn` (optional) replaces pipeline.rasterize with the same call
+    contract — the tile-axis trainer injects a band-sharded rasterizer here
+    (parallel/tile_parallel.py) while every other stage stays unchanged.
     """
     h, w = batch["pixels"].shape[:2]
     c2w = batch["camera_to_world"]
@@ -280,7 +283,7 @@ def forward(cfg: TrainerConfig, params, statics, masks, batch,
         near_plane=cfg.near_plane, far_plane=cfg.far_plane,
         radius_clip=cfg.radius_clip, antialiased=cfg.antialiased,
         isect_capacity=cfg.isect_capacity, interpret=cfg.interpret)
-    out = pipeline.rasterize(
+    out = (rasterize_fn or pipeline.rasterize)(
         merged.means, merged.quats, merged.scales, merged.opacities,
         merged.rgbs, viewmat, batch["intrinsics"], w, h, rcfg,
         means2d_dummy=means2d_dummy)
@@ -566,7 +569,8 @@ def init_state(key, cfg: TrainerConfig, params, masks,
         opt_state=opt.init(params), step=jnp.zeros((), jnp.int32), key=key)
 
 
-def compute_grads(cfg: TrainerConfig, statics, state: TrainerState, batch):
+def compute_grads(cfg: TrainerConfig, statics, state: TrainerState, batch,
+                  rasterize_fn=None):
     """Gradient computation for one image: returns (total, loss_dict,
     outputs, g_params, g_dummy). Split out so the multi-chip path can
     shard_map it over a per-device image batch and psum the grads
@@ -589,7 +593,7 @@ def compute_grads(cfg: TrainerConfig, statics, state: TrainerState, batch):
     def loss_fn(params, dummy):
         outputs = forward(cfg, params, full_statics, state.masks, batch,
                           state.step, means2d_dummy=dummy,
-                          time_offset=time_offset)
+                          time_offset=time_offset, rasterize_fn=rasterize_fn)
         loss = compute_losses(cfg, params, full_statics, state.masks, outputs,
                               batch, state.step)
         total = sum(loss.values())
