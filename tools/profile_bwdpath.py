@@ -121,12 +121,30 @@ def main():
         z = jnp.zeros((FEAT, cap), jnp.float32) + i
         return jnp.sum(z)
 
+    from bilateral_driving_tpu.ops import segsum_pallas as sp
+
+    d16 = jnp.concatenate([d_feats,
+                           jnp.zeros((FEAT - NP, cap), jnp.float32)], 0)
+    offs_c = jnp.minimum(offsets, cap)
+
+    def f_segsum_kernel(i):
+        return jnp.sum(sp.segment_sum(d16 + i, offs_c))
+
+    def g_bc_replacement(i):
+        # what the kernel replaces: cumsum + boundary gather + diff
+        cs = scan_utils.cumsum_rows(d_feats + i)
+        cs = jnp.concatenate([jnp.zeros((NP, 1), cs.dtype), cs], axis=1)
+        seg = cs[:, offs_c]
+        return jnp.sum(seg[:, 1:] - seg[:, :-1])
+
     for name, fn in [("A unsort sort (1key+10pay)", a_unsort),
                      ("A2 sort key+iota only", a2_unsort_key_only),
                      ("B cumsum_rows (10,cap)", b_cumsum),
                      ("C seg pick+diff+d_table", c_segdiff),
                      ("D dside merge", d_dside),
-                     ("E zeros(16,cap)", e_zeros)]:
+                     ("E zeros(16,cap)", e_zeros),
+                     ("F pallas segsum kernel", f_segsum_kernel),
+                     ("G cumsum+gather+diff (replaced)", g_bc_replacement)]:
         dt = time_loop(fn, iters=args.iters)
         print(f"{name:30s} {dt * 1e3:8.2f} ms", flush=True)
 
