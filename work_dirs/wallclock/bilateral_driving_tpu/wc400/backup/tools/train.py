@@ -42,11 +42,6 @@ def parse_args():
     p.add_argument("--enable_wandb", action="store_true",
                    help="log to wandb when the package is available "
                         "(offline mode without an API key)")
-    p.add_argument("--viewer_port", type=int, default=0,
-                   help="serve the live orbit viewer on this port while "
-                        "training (reference nerfview 'training' mode: "
-                        "frame renders, train-speed stats, pause button); "
-                        "0 = off")
     # multi-chip / multi-host (parallel/{data_parallel,distributed}.py —
     # new capability over the reference's single-GPU assert, base.py:411)
     p.add_argument("--data_parallel", type=int, default=0,
@@ -330,37 +325,11 @@ def main():
         cap_state["bad_windows"] = 0
         cap_state["max_isects"] = 0
 
-    # live viewer attached to the training loop (reference init_viewer,
-    # base.py:755-762: render + train-speed stats + pause control)
-    live_viewer = None
-    if args.viewer_port and is_lead:
-        from . import viewer as viewer_mod
-
-        def _viewer_render(c2w, t):
-            from ..data.scene import _pixel_viewdirs
-            b = dict(get_batch(int(train_indices[0]), 1))
-            K_np = np.asarray(b["intrinsics"])
-            vh, vw = b["pixels"].shape[:2]
-            b["camera_to_world"] = jnp.asarray(c2w)
-            b["viewdirs"] = jnp.asarray(_pixel_viewdirs(vh, vw, K_np, c2w))
-            b["normed_time"] = jnp.asarray(t, jnp.float32)
-            full = trainer.merge_statics(statics, state.aux)
-            out = jax.jit(functools.partial(
-                trainer.forward, tcfg, novel_view=True, in_test_set=True))(
-                state.params, full, state.masks, b, state.step)
-            return np.asarray(out["rgb"])
-
-        live_viewer = viewer_mod.Viewer(_viewer_render,
-                                        port=args.viewer_port).start()
-        logger.info(f"live viewer at http://127.0.0.1:{live_viewer.port}/")
-
     t0 = time.time()
     t_win = t0
     win_start = int(state.step)
     start_step = int(state.step)
     for step in range(start_step, max_steps):
-        if live_viewer is not None:
-            live_viewer.wait_if_paused()
         if vis_freq > 0 and step % vis_freq == 0:
             visualize(step)
         if refresh_every > 0 and data is not None and step > 0 \
@@ -401,12 +370,6 @@ def main():
             now = time.time()
             win_ms = (now - t_win) / max(step - win_start, 1) * 1e3
             t_win, win_start = now, step
-            if live_viewer is not None:
-                live_viewer.update_stats(
-                    step=step, steps_per_s=1e3 / max(win_ms, 1e-9),
-                    num_points=sum(int(v) for k, v in fetched.items()
-                                   if k.startswith("num_points/")),
-                    loss=m.get("loss", float("nan")))
             logger.info(
                 f"step {step}/{max_steps} " +
                 " ".join(f"{k}={v:.4f}" for k, v in m.items()) +

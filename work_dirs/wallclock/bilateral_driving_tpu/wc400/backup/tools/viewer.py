@@ -24,22 +24,12 @@ import numpy as np
 
 _PAGE = """<!doctype html><html><head><title>bilateral_driving_tpu</title>
 <style>body{margin:0;background:#111;color:#ccc;font:13px monospace}
-#hud{position:fixed;top:8px;left:8px}
-#stats{position:fixed;top:8px;right:8px;text-align:right}
-#pause{cursor:pointer;border:1px solid #888;padding:2px 8px}</style></head>
+#hud{position:fixed;top:8px;left:8px}</style></head>
 <body><canvas id=c></canvas><div id=hud>drag: orbit &middot; wheel: dolly
-&middot; shift-drag: pan &middot; [ ] : time</div>
-<div id=stats><span id=tr></span> <span id=pause>pause</span></div><script>
+&middot; shift-drag: pan &middot; [ ] : time</div><script>
 const c=document.getElementById('c'),x=c.getContext('2d');
 let az=0,el=0.2,r=12,cx=0,cy=0,cz=0,t=0,busy=false,dirty=true;
 c.width=innerWidth;c.height=innerHeight;
-const pb=document.getElementById('pause'),tr=document.getElementById('tr');
-pb.onclick=async()=>{const r=await fetch('/pause',{method:'POST'});
- const j=await r.json();pb.textContent=j.paused?'resume':'pause';};
-setInterval(async()=>{try{const r=await fetch('/stats');const j=await
- r.json();tr.textContent=`step ${j.step} | ${j.steps_per_s.toFixed(2)} it/s`+
- ` | ${j.num_points} pts | loss ${j.loss.toFixed(4)}`;
- pb.textContent=j.paused?'resume':'pause';}catch(e){}},1000);
 function pose(){
  const ce=Math.cos(el),se=Math.sin(el),ca=Math.cos(az),sa=Math.sin(az);
  const eye=[cx+r*ce*sa,cy+r*ce*ca,cz+r*se];
@@ -80,21 +70,11 @@ def _look_at(eye, look, up=(0.0, 0.0, 1.0)) -> np.ndarray:
 
 
 class Viewer:
-    """Serve `render_fn(c2w (4,4) np, t float) -> (H, W, 3) float [0,1]`.
-
-    Training-mode extras (nerfview "training" parity, reference
-    base.py:755-762): `update_stats(step=..., steps_per_s=..., ...)` feeds
-    the HUD's train-speed readout, and the page's pause button toggles
-    `paused` — an attached training loop calls `wait_if_paused()` each
-    step to honor it (the viewer keeps rendering while training sleeps)."""
+    """Serve `render_fn(c2w (4,4) np, t float) -> (H, W, 3) float [0,1]`."""
 
     def __init__(self, render_fn: Callable, port: int = 8080,
                  host: str = "127.0.0.1"):
         self.render_fn = render_fn
-        self.paused = False
-        self._stats = {"step": 0, "steps_per_s": 0.0, "num_points": 0,
-                       "loss": float("nan")}
-        self._stats_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -126,30 +106,9 @@ class Viewer:
                     self.end_headers()
                     self.wfile.write(buf.getvalue())
                     return
-                if u.path == "/stats":
-                    with outer._stats_lock:
-                        body = json.dumps(
-                            {**outer._stats, "paused": outer.paused}).encode()
-                    self.send_response(200)
-                    self.send_header("Content-Type", "application/json")
-                    self.end_headers()
-                    self.wfile.write(body)
-                    return
                 self.send_response(404)
                 self.end_headers()
                 self.wfile.write(b"{}")
-
-            def do_POST(self):
-                if urlparse(self.path).path == "/pause":
-                    outer.paused = not outer.paused
-                    self.send_response(200)
-                    self.send_header("Content-Type", "application/json")
-                    self.end_headers()
-                    self.wfile.write(json.dumps(
-                        {"paused": outer.paused}).encode())
-                    return
-                self.send_response(404)
-                self.end_headers()
 
         self.server = ThreadingHTTPServer((host, port), Handler)
         self.port = self.server.server_address[1]
@@ -163,18 +122,6 @@ class Viewer:
 
     def stop(self):
         self.server.shutdown()
-
-    def update_stats(self, **kw) -> None:
-        with self._stats_lock:
-            self._stats.update({k: (float(v) if k != "step"
-                                    and k != "num_points" else int(v))
-                                for k, v in kw.items()})
-
-    def wait_if_paused(self, poll_s: float = 0.2) -> None:
-        """Block the calling (training) thread while the UI is paused."""
-        import time as _time
-        while self.paused:
-            _time.sleep(poll_s)
 
 
 def main():
