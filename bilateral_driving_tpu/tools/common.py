@@ -41,7 +41,7 @@ CONFIG_SCHEMA = {
         "sky_model", "affine_model", "use_camera_opt", "use_camera_perturb",
         "use_voxel_deformer", "sh_degree", "sh_degree_interval",
         "envlight_resolution", "max_steps", "ms_grid", "guidance_factor",
-        "bilateral_grid_shape"),
+        "bilateral_grid_shape", "steps_per_dispatch"),
     "render": _leaves("near_plane", "far_plane", "radius_clip", "antialiased",
                       "isect_capacity", "capacity_policy", "capacity_margin",
                       "capacity_floor", "rebucket_after"),

@@ -154,13 +154,26 @@ def main():
         n_dev = (len(jax.devices()) if args.data_parallel < 0
                  else args.data_parallel)
         mesh = data_parallel.make_mesh(n_dev)
+    # multi-step dispatch (single-device path): scan K train steps inside
+    # one program — a dispatch costs ~6 ms on the serving tunnel, so K=8
+    # amortizes it to sub-ms/step (trainer.train_multi_step). Periodic
+    # host-side events (log/vis/ckpt/flush/res-schedule) land on window
+    # starts; windows shrink to meet them.
+    spd = max(int(cfg.get_path("trainer.steps_per_dispatch", 1) or 1), 1)
+    multi_step_fn = None
     if mesh is not None:
         logger.info(f"data-parallel over {mesh.size} devices "
                     f"({jax.process_count()} processes)")
         step_fn = data_parallel.parallel_train_step(tcfg, statics, mesh)
+        if spd > 1:
+            logger.info("steps_per_dispatch ignored on the parallel path")
+            spd = 1
     else:
         step_fn = jax.jit(functools.partial(trainer.train_step, tcfg,
                                             statics))
+        if spd > 1:
+            multi_step_fn = jax.jit(functools.partial(
+                trainer.train_multi_step, tcfg, statics))
     sampler = importance.ImageSampler(
         num_images, cfg.get_path("data.num_cams", 1),
         buffer_ratio=cfg.get_path("sampler.buffer_ratio", 0.5),
@@ -279,7 +292,7 @@ def main():
     cap_state = {"bad_windows": 0, "max_isects": 0}
 
     def flush_pending() -> None:
-        nonlocal tcfg, step_fn
+        nonlocal tcfg, step_fn, multi_step_fn
         if not pending:
             return
         vals = jax.device_get([
@@ -327,6 +340,9 @@ def main():
         else:
             step_fn = jax.jit(functools.partial(trainer.train_step, tcfg,
                                                 statics))
+            if multi_step_fn is not None:
+                multi_step_fn = jax.jit(functools.partial(
+                    trainer.train_multi_step, tcfg, statics))
         cap_state["bad_windows"] = 0
         cap_state["max_isects"] = 0
 
@@ -354,11 +370,28 @@ def main():
                                         port=args.viewer_port).start()
         logger.info(f"live viewer at http://127.0.0.1:{live_viewer.port}/")
 
+    def window_len(s: int) -> int:
+        """Steps to scan in one dispatch from step s: capped by spd and by
+        the next host-side event. Pre-step events (visualize, error-buffer
+        refresh, a res-schedule change) need a window STARTING on their
+        step; post-step events (log, flush, checkpoint) need a window
+        ENDING right after theirs."""
+        k = min(spd, max_steps - s)
+        for prd in (vis_freq, refresh_every, rs_double):
+            if prd and prd > 0:
+                k = min(k, prd - s % prd)
+        for prd in (log_every, flush_every, ckpt_every):
+            if prd and prd > 0:
+                r = s % prd
+                k = min(k, (prd - r if r else 0) + 1)
+        return max(k, 1)
+
     t0 = time.time()
     t_win = t0
     win_start = int(state.step)
     start_step = int(state.step)
-    for step in range(start_step, max_steps):
+    step = start_step
+    while step < max_steps:
         if live_viewer is not None:
             live_viewer.wait_if_paused()
         if vis_freq > 0 and step % vis_freq == 0:
@@ -367,9 +400,22 @@ def main():
                 and step % refresh_every == 0:
             refresh_error_buffer(step)
         ds = sched_downscale(step)
+        k = 1
         if mesh is None:
-            idxs = [int(sampler.propose(train_indices))]
-            state, metrics = step_fn(state, get_batch(idxs[0], ds))
+            k = window_len(step) if multi_step_fn is not None else 1
+            if k > 1:
+                idxs = [int(sampler.propose(train_indices))
+                        for _ in range(k)]
+                stacked = data_parallel.stack_batches(
+                    [get_batch(i, ds) for i in idxs])
+                state, ms = multi_step_fn(state, stacked)
+                for j in range(k):
+                    pending.append((step + j, [idxs[j]],
+                                    {kk: v[j] for kk, v in ms.items()}))
+                metrics = {kk: v[-1] for kk, v in ms.items()}
+            else:
+                idxs = [int(sampler.propose(train_indices))]
+                state, metrics = step_fn(state, get_batch(idxs[0], ds))
         elif multiprocess:
             # deterministic cross-host picks; each process builds only its
             # local devices' images (no cross-host data exchange)
@@ -386,37 +432,40 @@ def main():
                 [get_batch(i, ds) for i in idxs])
             state, metrics = step_fn(state,
                                      data_parallel.shard_batch(stacked, mesh))
-        pending.append((step, idxs, metrics))
-        if step % flush_every == 0 or step == max_steps - 1:
+        if k == 1:
+            pending.append((step, idxs, metrics))
+        last = step + k - 1       # post-step events key off the window end
+        if last % flush_every == 0 or last == max_steps - 1:
             flush_pending()
-        if step % log_every == 0:
+        if last % log_every == 0:
             flush_pending()
             fetched = jax.device_get(metrics)
-            m = {k: float(v) for k, v in fetched.items()
-                 if not k.startswith("loss/")}
+            m = {kk: float(v) for kk, v in fetched.items()
+                 if not kk.startswith("loss/")}
             mlogger.update(**m)
-            mlogger.dump(step)
-            tbw.scalars({k: float(v) for k, v in fetched.items()}, step)
-            wb.scalars({k: float(v) for k, v in fetched.items()}, step)
+            mlogger.dump(last)
+            tbw.scalars({kk: float(v) for kk, v in fetched.items()}, last)
+            wb.scalars({kk: float(v) for kk, v in fetched.items()}, last)
             now = time.time()
-            win_ms = (now - t_win) / max(step - win_start, 1) * 1e3
-            t_win, win_start = now, step
+            win_ms = (now - t_win) / max(last - win_start, 1) * 1e3
+            t_win, win_start = now, last
             if live_viewer is not None:
                 live_viewer.update_stats(
-                    step=step, steps_per_s=1e3 / max(win_ms, 1e-9),
-                    num_points=sum(int(v) for k, v in fetched.items()
-                                   if k.startswith("num_points/")),
+                    step=last, steps_per_s=1e3 / max(win_ms, 1e-9),
+                    num_points=sum(int(v) for kk, v in fetched.items()
+                                   if kk.startswith("num_points/")),
                     loss=m.get("loss", float("nan")))
             logger.info(
-                f"step {step}/{max_steps} " +
-                " ".join(f"{k}={v:.4f}" for k, v in m.items()) +
-                f" ({(now - t0) / max(step - start_step, 1):.3f}s/it, "
+                f"step {last}/{max_steps} " +
+                " ".join(f"{kk}={v:.4f}" for kk, v in m.items()) +
+                f" ({(now - t0) / max(last - start_step, 1):.3f}s/it, "
                 f"win {win_ms:.1f}ms/it)")
-        if step > 0 and step % ckpt_every == 0:
+        if last > 0 and last % ckpt_every == 0:
             flush_pending()
             path = checkpoint.save_checkpoint(
                 os.path.join(log_dir, "checkpoints"), state)
             logger.info(f"checkpoint: {path}")
+        step += k
     flush_pending()
 
     path = checkpoint.save_checkpoint(

@@ -713,3 +713,17 @@ def train_step(cfg: TrainerConfig, statics, state: TrainerState, batch
         cfg, statics, state, batch)
     return apply_grads_and_refine(cfg, statics, state, batch, total,
                                   loss_dict, outputs, g_params, g_dummy)
+
+
+def train_multi_step(cfg: TrainerConfig, statics, state: TrainerState,
+                     stacked_batch) -> Tuple[TrainerState, Dict]:
+    """K optimization steps in ONE program: lax.scan of `train_step` over a
+    (K, ...)-stacked batch. Amortizes per-dispatch runtime overhead (on the
+    serving tunnel a dispatch costs ~6 ms — more than a dispatch-free step
+    saves); refinement still fires per sub-step under its lax.cond, and the
+    returned metrics carry a leading K axis (one entry per sub-step)."""
+    def body(st, b):
+        st2, m = train_step(cfg, statics, st, b)
+        return st2, m
+
+    return jax.lax.scan(body, state, stacked_batch)

@@ -267,3 +267,46 @@ class TestLosses:
         out_t = trainer.forward(cfg, params, full, masks, batch, 10,
                                 in_test_set=True)
         assert "Dynamic_opacity" not in out_t
+
+
+class TestMultiStep:
+    def test_scan_matches_sequential_steps(self):
+        """trainer.train_multi_step (K steps in one program via lax.scan)
+        must reproduce K sequential train_step calls exactly — state,
+        per-sub-step metrics, and refinement firing included."""
+        key = jax.random.key(9)
+        scene = synthetic.make_scene(key, num_bg=200, width=48, height=32)
+        cfg = small_cfg(sky_model="none", affine_model="none",
+                        density=density.DensityConfig(refine_interval=2,
+                                                      warmup_steps=0))
+        params, statics, aux, masks = build_synthetic(key, cfg, scene, 256)
+        batches = [synthetic.make_batch(
+            scene, f % scene.num_frames,
+            jax.random.uniform(jax.random.fold_in(key, f), (32, 48, 3)))
+            for f in range(3)]
+
+        s_seq = trainer.init_state(key, cfg, params, masks, aux)
+        step_fn = jax.jit(functools.partial(trainer.train_step, cfg,
+                                            statics))
+        ms_seq = []
+        for b in batches:
+            s_seq, m = step_fn(s_seq, b)
+            ms_seq.append(m)
+
+        s_multi = trainer.init_state(key, cfg, params, masks, aux)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        s_multi, ms = jax.jit(functools.partial(
+            trainer.train_multi_step, cfg, statics))(s_multi, stacked)
+
+        assert int(s_multi.step) == int(s_seq.step) == 3
+        for j, m in enumerate(ms_seq):
+            for kk in m:
+                np.testing.assert_allclose(
+                    np.asarray(ms[kk][j]), np.asarray(m[kk]), atol=1e-6,
+                    err_msg=f"metric {kk} sub-step {j}")
+        for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(s_multi.params),
+                jax.tree_util.tree_leaves_with_path(s_seq.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6,
+                err_msg=f"param {jax.tree_util.keystr(ka)}")

@@ -54,6 +54,9 @@ def main():
         "data.num_cams=2", "data.cameras=[0,1]", "data.test_image_stride=10",
         "data.downscale=1",
         f"trainer.max_steps={args.steps}",
+        # scan 8 steps per dispatch (trainer.train_multi_step): the tunnel's
+        # ~6 ms dispatch charge would otherwise dominate a 96x64 step
+        "trainer.steps_per_dispatch=8",
         "trainer.use_smpl=true",              # cover the SMPL branch too
         "smpl.model_path=synthetic",          # gated asset stand-in
         "trainer.sh_degree=2",
@@ -74,7 +77,9 @@ def main():
         # coarse-to-fine crosses a boundary mid-run
         "res_schedule.double_steps=800", "res_schedule.downscale_times=1",
         "logging.ckpt_every=1000000", "logging.vis_freq=0",
-        "logging.log_every=250", "logging.metrics_flush_every=50",
+        # multiples of steps_per_dispatch: keeps the distinct window sizes
+        # (= distinct scan compiles) at {1, 8}
+        "logging.log_every=240", "logging.metrics_flush_every=240",
     ]
     env = dict(os.environ)
     t0 = time.time()

@@ -38,8 +38,9 @@ CAP = 655_360        # the bench bucket (pipeline.autotune_capacity margin)
 RATIO_MAX = 1.3
 
 
-def cli_overrides(steps):
+def cli_overrides(steps, spd=1):
     return [
+        f"trainer.steps_per_dispatch={spd}",
         "data.synthetic=true", f"data.width={W}", f"data.height={H}",
         f"data.num_bg={NUM_BG}", f"data.bg_capacity={NUM_BG}",
         "data.num_frames=4",
@@ -56,20 +57,20 @@ def cli_overrides(steps):
     ]
 
 
-def run_cli(steps, workdir):
+def run_cli(steps, workdir, spd=1):
     cmd = [sys.executable, "-m", "bilateral_driving_tpu.tools.train",
            "--config_file",
            os.path.join(REPO, "bilateral_driving_tpu", "configs",
                         "synthetic.yaml"),
-           "--output_root", workdir, "--run_name", f"wc{steps}"
-           ] + cli_overrides(steps)
+           "--output_root", workdir, "--run_name", f"wc{steps}x{spd}"
+           ] + cli_overrides(steps, spd)
     t0 = time.time()
     proc = subprocess.run(cmd, cwd=REPO, env=dict(os.environ),
                           capture_output=True, text=True, timeout=7200)
     wall = time.time() - t0
     assert proc.returncode == 0, proc.stderr[-4000:]
-    log = (pathlib.Path(workdir) / "bilateral_driving_tpu" / f"wc{steps}"
-           / "log.txt").read_text()
+    log = (pathlib.Path(workdir) / "bilateral_driving_tpu"
+           / f"wc{steps}x{spd}" / "log.txt").read_text()
     wins = [float(m) for m in re.findall(r"win ([0-9.]+)ms/it", log)]
     return wall, wins
 
@@ -144,33 +145,42 @@ def main():
     args = p.parse_args()
     workdir = args.workdir or os.path.join(REPO, "work_dirs", "wallclock")
 
-    wall, wins = run_cli(args.steps, workdir)
-    assert len(wins) >= 3, f"not enough log windows: {wins}"
-    steady = sorted(wins[1:])[len(wins[1:]) // 2]   # median, compile excluded
+    wall1, wins1 = run_cli(args.steps, workdir, spd=1)
+    wall8, wins8 = run_cli(args.steps, workdir, spd=8)
 
+    def steady(wins):
+        assert len(wins) >= 3, f"not enough log windows: {wins}"
+        return sorted(wins[1:])[len(wins[1:]) // 2]   # median, no compile
+
+    steady1, steady8 = steady(wins1), steady(wins8)
     prof_ms = None if args.skip_inprogram else inprogram_step_ms()
-    ratio = None if prof_ms is None else steady / prof_ms
+    # the delivered configuration is steps_per_dispatch=8 (the trainer's
+    # multi-step scan amortizes the ~6 ms per-dispatch runtime charge)
+    ratio = None if prof_ms is None else steady8 / prof_ms
 
     artifact = {
         "config": "flagship sh3+env1024+ms_bilateral+ssim @ 544x320, "
                   f"{NUM_BG} live gaussians, cap {CAP}",
         "cli_steps": args.steps,
-        "cli_total_wall_s": round(wall, 1),
-        "cli_window_ms": [round(w, 1) for w in wins],
-        "cli_steady_ms_per_step": round(steady, 1),
+        "cli_total_wall_s": {"spd1": round(wall1, 1),
+                             "spd8": round(wall8, 1)},
+        "cli_window_ms_spd1": [round(w, 1) for w in wins1],
+        "cli_window_ms_spd8": [round(w, 1) for w in wins8],
+        "cli_steady_ms_per_step_spd1": round(steady1, 1),
+        "cli_steady_ms_per_step": round(steady8, 1),
         "inprogram_ms_per_step": None if prof_ms is None
         else round(prof_ms, 1),
         "cli_over_inprogram_ratio": None if ratio is None
         else round(ratio, 3),
         "ratio_max": RATIO_MAX,
-        "extrapolated_30k_steps_min": round(steady * 30_000 / 60e3, 1),
+        "extrapolated_30k_steps_min": round(steady8 * 30_000 / 60e3, 1),
         "backend": os.environ.get("JAX_PLATFORMS", "default"),
     }
     json.dump(artifact, open(args.out, "w"), indent=2)
     print(json.dumps(artifact))
     if ratio is not None:
         assert ratio <= RATIO_MAX, \
-            f"CLI {steady:.1f} ms/step vs in-program {prof_ms:.1f} " \
+            f"CLI {steady8:.1f} ms/step vs in-program {prof_ms:.1f} " \
             f"(ratio {ratio:.2f} > {RATIO_MAX}): the loop is not " \
             f"delivering the profiled step"
     print("WALLCLOCK OK")
