@@ -194,35 +194,49 @@ class TestBinning:
             assert (np.diff(d) >= -1e-6).all()
 
 
+def _mxu_case_grads():
+    params = make_scene(jax.random.key(7), n=150)
+    target = jax.random.uniform(jax.random.key(8), (HEIGHT, WIDTH, 3))
+
+    def loss(means, opac, colors):
+        out = pallas_render((means, params[1], params[2], opac, colors,
+                             params[5], params[6]))
+        return (jnp.sum((out["rgb"] - target) ** 2)
+                + 0.1 * jnp.sum(out["alpha"]))
+
+    return jax.value_and_grad(loss, argnums=(0, 1, 2))(
+        params[0], params[3], params[4])
+
+
+@pytest.fixture(scope="module")
+def scan_scan_baseline():
+    """Baseline gradients under the default scan/scan modes, computed ONCE
+    per module — interpret-mode reruns per parametrization roughly doubled
+    an already-slow test three times over (round-3 advisor)."""
+    from bilateral_driving_tpu.ops import rasterize_pallas as rp
+    assert rp.SUF_MODE == "scan" and rp.TRI_MODE == "scan"
+    return _mxu_case_grads()
+
+
 class TestMXULimbModes:
     """The backward suffix-sum and the transmittance prefix have MXU
     alternatives (rasterize_pallas.SUF_MODE / TRI_MODE = "mxuK"): the 0/1
     triangular matrix is exact in bf16, so tri @ x splits into K one-pass
     bf16 matmuls with f32 accumulation (K=3 ~ f32 accuracy). Parity vs the
-    exact VPU scan must hold to float tolerance."""
-
-    def _grads(self, monkeypatch, suf, tri):
-        from bilateral_driving_tpu.ops import rasterize_pallas as rp
-        monkeypatch.setattr(rp, "SUF_MODE", suf)
-        monkeypatch.setattr(rp, "TRI_MODE", tri)
-        params = make_scene(jax.random.key(7), n=150)
-        target = jax.random.uniform(jax.random.key(8), (HEIGHT, WIDTH, 3))
-
-        def loss(means, opac, colors):
-            out = pallas_render((means, params[1], params[2], opac, colors,
-                                 params[5], params[6]))
-            return (jnp.sum((out["rgb"] - target) ** 2)
-                    + 0.1 * jnp.sum(out["alpha"]))
-
-        val, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(
-            params[0], params[3], params[4])
-        return val, g
+    exact VPU scan must hold to float tolerance. (These run in interpret
+    mode; the ON-HARDWARE bf16 semantics are verified by tools/ab_modes.py,
+    which compares images and gradients against the scan/scan reference on
+    the chip — round-4 A/B recorded in ROADMAP.md.)"""
 
     @pytest.mark.parametrize("suf,tri", [("mxu3", "scan"), ("mxu2", "scan"),
                                          ("scan", "mxu3")])
-    def test_mxu_modes_match_scan(self, monkeypatch, suf, tri):
-        v0, g0 = self._grads(monkeypatch, "scan", "scan")
-        v1, g1 = self._grads(monkeypatch, suf, tri)
+    def test_mxu_modes_match_scan(self, monkeypatch, scan_scan_baseline,
+                                  suf, tri):
+        from bilateral_driving_tpu.ops import rasterize_pallas as rp
+        v0, g0 = scan_scan_baseline
+        monkeypatch.setattr(rp, "SUF_MODE", suf)
+        monkeypatch.setattr(rp, "TRI_MODE", tri)
+        v1, g1 = _mxu_case_grads()
         np.testing.assert_allclose(v0, v1, rtol=1e-4)
         tol = 2e-3 if (suf == "mxu2") else 5e-4
         for a, b in zip(g0, g1):

@@ -34,7 +34,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 W, H, NUM_BG = 544, 320, 400_000
-CAP = 655_360        # the bench bucket (pipeline.autotune_capacity margin)
+# the synthetic 400k scene measures ~945k isects (ground plane + blobs have
+# more overlap than the bench cloud) -> the 2^20 bucket, no mid-run rebucket
+CAP = 2 ** 20
 RATIO_MAX = 1.3
 
 
