@@ -386,6 +386,16 @@ def main():
                 k = min(k, (prd - r if r else 0) + 1)
         return max(k, 1)
 
+    if os.environ.get("BILATERAL_TUNNEL_SLOW_MODE"):
+        # measurement aid for the axon serving tunnel: a fresh process
+        # starts in a fast mode whose block_until_ready returns BEFORE
+        # execution completes (ROADMAP timing finding #1), so the loop's
+        # window timings would report dispatch rate, not device rate. One
+        # big memory-bound program flips the process into the honest mode.
+        junk = jnp.ones((64, 2 ** 20), jnp.float32)
+        jax.block_until_ready(jax.jit(lambda x: (x * 1.5 + 2.0).sum())(junk))
+        del junk
+
     t0 = time.time()
     t_win = t0
     win_start = int(state.step)

@@ -82,6 +82,7 @@ def main():
         "logging.log_every=240", "logging.metrics_flush_every=240",
     ]
     env = dict(os.environ)
+    env["BILATERAL_TUNNEL_SLOW_MODE"] = "1"   # honest window timings
     t0 = time.time()
     train = subprocess.run(
         [sys.executable, "-m", "bilateral_driving_tpu.tools.train",

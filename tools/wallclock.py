@@ -67,7 +67,11 @@ def run_cli(steps, workdir, spd=1):
            "--output_root", workdir, "--run_name", f"wc{steps}x{spd}"
            ] + cli_overrides(steps, spd)
     t0 = time.time()
-    proc = subprocess.run(cmd, cwd=REPO, env=dict(os.environ),
+    env = dict(os.environ)
+    # flip the tunnel out of fast mode INSIDE the CLI process, so its
+    # window timings measure device throughput, not dispatch rate
+    env["BILATERAL_TUNNEL_SLOW_MODE"] = "1"
+    proc = subprocess.run(cmd, cwd=REPO, env=env,
                           capture_output=True, text=True, timeout=7200)
     wall = time.time() - t0
     assert proc.returncode == 0, proc.stderr[-4000:]
