@@ -160,9 +160,13 @@ def main():
 
     steady1, steady8 = steady(wins1), steady(wins8)
     prof_ms = None if args.skip_inprogram else inprogram_step_ms()
-    # the delivered configuration is steps_per_dispatch=8 (the trainer's
-    # multi-step scan amortizes the ~6 ms per-dispatch runtime charge)
-    ratio = None if prof_ms is None else steady8 / prof_ms
+    # the delivered configuration is whichever dispatch mode wins at this
+    # scale: at 544x320 the async loop alone already overlaps dispatch
+    # with device compute (spd=1 typically wins); multi-step scan pays off
+    # on dispatch-bound small-image runs (the quality smoke)
+    best = min(steady1, steady8)
+    best_mode = "spd1" if steady1 <= steady8 else "spd8"
+    ratio = None if prof_ms is None else best / prof_ms
 
     artifact = {
         "config": "flagship sh3+env1024+ms_bilateral+ssim @ 544x320, "
@@ -173,20 +177,22 @@ def main():
         "cli_window_ms_spd1": [round(w, 1) for w in wins1],
         "cli_window_ms_spd8": [round(w, 1) for w in wins8],
         "cli_steady_ms_per_step_spd1": round(steady1, 1),
-        "cli_steady_ms_per_step": round(steady8, 1),
+        "cli_steady_ms_per_step_spd8": round(steady8, 1),
+        "cli_steady_ms_per_step": round(best, 1),
+        "delivered_mode": best_mode,
         "inprogram_ms_per_step": None if prof_ms is None
         else round(prof_ms, 1),
         "cli_over_inprogram_ratio": None if ratio is None
         else round(ratio, 3),
         "ratio_max": RATIO_MAX,
-        "extrapolated_30k_steps_min": round(steady8 * 30_000 / 60e3, 1),
+        "extrapolated_30k_steps_min": round(best * 30_000 / 60e3, 1),
         "backend": os.environ.get("JAX_PLATFORMS", "default"),
     }
     json.dump(artifact, open(args.out, "w"), indent=2)
     print(json.dumps(artifact))
     if ratio is not None:
         assert ratio <= RATIO_MAX, \
-            f"CLI {steady8:.1f} ms/step vs in-program {prof_ms:.1f} " \
+            f"CLI {best:.1f} ms/step vs in-program {prof_ms:.1f} " \
             f"(ratio {ratio:.2f} > {RATIO_MAX}): the loop is not " \
             f"delivering the profiled step"
     print("WALLCLOCK OK")
