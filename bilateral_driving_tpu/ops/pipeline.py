@@ -252,20 +252,22 @@ def _expand_sort_pallas_bwd(cap, ntx, n_tiles, n_orig, interpret, res, cots):
     unsorted = jax.lax.sort(
         (gid_s,) + tuple(d_feats_s[i] for i in range(N_PAYLOAD)),
         dimension=0, num_keys=1, is_stable=False)
-    d_exp = jnp.stack(unsorted[1:], axis=0)             # (N_PAYLOAD, cap)
     if segsum_pallas._MODE != "xla" and cap % segsum_pallas.TILE_L == 0:
         # Pallas masked-matmul ragged reduce (ops/segsum_pallas.py): no
         # prefix scan, no boundary gather. Invalid entries (gid n_orig)
         # sort past offsets[-1] and fall outside every segment, so no
         # explicit valid-mask is needed; offsets are clamped to cap to
-        # match the sort's truncation under overflow.
-        d16 = jnp.concatenate(
-            [d_exp, jnp.zeros((segsum_pallas.FEAT - N_PAYLOAD, cap),
-                              d_exp.dtype)], axis=0)
+        # match the sort's truncation under overflow. One stack builds the
+        # DMA-aligned 16-row layout directly (no (10,cap) intermediate).
+        zrow = jnp.zeros((cap,), d_feats_s.dtype)
+        d16 = jnp.stack(
+            list(unsorted[1:])
+            + [zrow] * (segsum_pallas.FEAT - N_PAYLOAD), axis=0)
         offs_c = jnp.minimum(offsets.astype(jnp.int32), cap)
         d_rows = segsum_pallas.segment_sum(d16, offs_c,
                                            interpret=interpret)[:N_PAYLOAD]
     else:
+        d_exp = jnp.stack(unsorted[1:], axis=0)         # (N_PAYLOAD, cap)
         valid = (jnp.arange(cap, dtype=jnp.int32) < num_isects)[None, :]
         d_exp = jnp.where(valid, d_exp, 0.0)
         cs = scan_utils.cumsum_rows(d_exp)
