@@ -1,0 +1,149 @@
+"""Pallas TPU ragged segment-sum: per-Gaussian reduction of sorted
+cotangents.
+
+The rasterization backward needs, for every Gaussian g, the sum of its
+per-intersection cotangent rows — contiguous segments
+[offsets[g], offsets[g+1]) of the gid-major (unsorted) cotangent array
+(ops/pipeline.py `_expand_sort_pallas_bwd`). The round-3 XLA formulation
+(hierarchical cumsum + `cs[:, offsets]` boundary gather + diff) spends
+~2.7 ms of its ~3.2 ms in the 400k-column lane gather, which XLA lowers
+poorly on TPU.
+
+This kernel computes the segment sums directly as masked MXU matmuls — no
+prefix scan, no gather anywhere:
+
+  * grid over output blocks of G_BLK Gaussians; block b's input window
+    [offsets[b*G], offsets[(b+1)*G]) is CONTIGUOUS (expansion enumerates
+    Gaussians in id order) and disjoint across blocks, so total DMA traffic
+    is ~one pass over the input;
+  * the window streams through VMEM in TILE_L-lane tiles (manual
+    double-buffered DMA — the window extent is data-dependent, so
+    BlockSpec pipelining cannot express it);
+  * per tile, the membership mask m[j, g] = (off[g] <= lane_j < off[g+1])
+    is two broadcast compares, and the partial sums are one
+    (FEAT, TILE_L) @ (TILE_L, G_BLK) matmul. The mask is EXACT in bf16
+    (0/1), so splitting the f32 data into K bf16 limbs gives K full-rate
+    one-pass MXU matmuls with f32 accumulation — rel err ~2^-8K (K=3 is
+    f32-equivalent), vs 6 passes for a HIGHEST-precision f32 dot.
+
+Modes (BILATERAL_SEGSUM env): "mxu3" (default, 3 bf16 limbs), "mxuK",
+"highest" (f32 HIGHEST dot), "xla" (round-3 cumsum+gather path, kept as
+fallback and for A/B).
+"""
+from __future__ import annotations
+
+import functools
+import os
+import re
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+FEAT = 16        # sublane-padded feature rows (8-aligned for HBM DMA)
+G_BLK = 512      # gaussians per grid program
+TILE_L = 512     # window lanes streamed per DMA tile
+
+_MODE = os.environ.get("BILATERAL_SEGSUM", "mxu3")
+if not re.match(r"^(xla|highest|mxu[1-9])$", _MODE):
+    raise ValueError(
+        f"BILATERAL_SEGSUM={_MODE!r}: expected 'xla', 'highest', or 'mxuK' "
+        "with K in 1..9")
+
+
+def _kernel(se_ref, offs_ref, data_hbm, out_ref, acc, buf, sem):
+    b = pl.program_id(0)
+    start = se_ref[b, 0]
+    end = se_ref[b, 1]
+    astart = (start // TILE_L) * TILE_L
+    nt = jnp.where(end > astart, (end - astart + TILE_L - 1) // TILE_L, 0)
+    acc[...] = jnp.zeros_like(acc)
+
+    def dma(slot, t):
+        return pltpu.make_async_copy(
+            data_hbm.at[:, pl.ds(pl.multiple_of(astart + t * TILE_L,
+                                                TILE_L), TILE_L)],
+            buf.at[slot], sem.at[slot])
+
+    @pl.when(nt > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(t, _):
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t + 1 < nt)
+        def _():
+            dma(1 - slot, t + 1).start()
+
+        dma(slot, t).wait()
+        base = astart + t * TILE_L
+        lane = base + jax.lax.broadcasted_iota(jnp.int32, (TILE_L, 1), 0)
+        m = ((lane >= offs_ref[0, 0:1, :]) & (lane < offs_ref[0, 1:2, :]))
+        x = buf[slot]                                  # (FEAT, TILE_L) f32
+        if _MODE == "highest":
+            acc[...] += jax.lax.dot_general(
+                x, m.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        else:
+            mb = m.astype(jnp.bfloat16)
+            rem = x
+            for _ in range(int(_MODE[3:])):
+                hi = rem.astype(jnp.bfloat16)
+                acc[...] += jax.lax.dot_general(
+                    hi, mb, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+                rem = rem - hi.astype(jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, nt, body, 0)
+    out_ref[0] = acc[...]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def segment_sum(data: jax.Array, offsets: jax.Array,
+                interpret: bool = False) -> jax.Array:
+    """data (FEAT, cap) f32 in gid-major order; offsets (N+1,) i32 sorted
+    segment boundaries (offsets[-1] <= cap). Returns (FEAT, N) sums.
+    cap must be a multiple of TILE_L (capacity buckets are 2^17-aligned)."""
+    feat, cap = data.shape
+    assert feat == FEAT, f"pad features to {FEAT} sublanes (got {feat})"
+    assert cap % TILE_L == 0, f"cap {cap} not a multiple of {TILE_L}"
+    n = offsets.shape[0] - 1
+    n_prog = -(-n // G_BLK)
+    n_pad = n_prog * G_BLK
+    offs_pad = jnp.concatenate(
+        [offsets.astype(jnp.int32),
+         jnp.broadcast_to(offsets[-1].astype(jnp.int32), (n_pad - n,))])
+    lo = offs_pad[:-1].reshape(n_prog, G_BLK)
+    hi = offs_pad[1:].reshape(n_prog, G_BLK)
+    offs2 = jnp.stack([lo, hi], axis=1)                # (n_prog, 2, G_BLK)
+    se = jnp.stack([lo[:, 0], hi[:, -1]], axis=1)      # (n_prog, 2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,       # se rides SMEM whole (n_prog x 2 i32)
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec((1, 2, G_BLK), lambda b, se: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, FEAT, G_BLK), lambda b, se: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((FEAT, G_BLK), jnp.float32),
+            pltpu.VMEM((2, FEAT, TILE_L), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_prog, FEAT, G_BLK), jnp.float32),
+        interpret=interpret,
+    )(se, offs2, data)
+    return out.transpose(1, 0, 2).reshape(FEAT, n_pad)[:, :n]

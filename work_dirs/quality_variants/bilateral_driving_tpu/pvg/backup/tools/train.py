@@ -1,0 +1,504 @@
+"""Training CLI (reference project/tools/train.py).
+
+    python -m bilateral_driving_tpu.tools.train \
+        --config_file bilateral_driving_tpu/configs/omnire_ms_bilateral.yaml \
+        --output_root ./work_dirs --run_name myrun \
+        data.scene_dir=/path/to/processed/scene trainer.max_steps=30000
+
+Config merge: method YAML + optional --dataset_file + CLI dotlist overrides
+(train.py:34-107). Trains with error-buffer importance sampling, periodic
+eval snapshots, JSONL metrics, and full-state orbax checkpoints.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import importance, synthetic
+from ..eval import render_loop
+from ..parallel import data_parallel
+from ..train import checkpoint, trainer
+from ..utils import config as config_lib
+from ..utils.logging import MetricLogger, setup_logging, logger
+from . import common
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", required=True)
+    p.add_argument("--dataset_file", default=None)
+    p.add_argument("--output_root", default="./work_dirs")
+    p.add_argument("--project", default="bilateral_driving_tpu")
+    p.add_argument("--run_name", default="run")
+    p.add_argument("--resume_from", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--enable_wandb", action="store_true",
+                   help="log to wandb when the package is available "
+                        "(offline mode without an API key)")
+    p.add_argument("--viewer_port", type=int, default=0,
+                   help="serve the live orbit viewer on this port while "
+                        "training (reference nerfview 'training' mode: "
+                        "frame renders, train-speed stats, pause button); "
+                        "0 = off")
+    # multi-chip / multi-host (parallel/{data_parallel,distributed}.py —
+    # new capability over the reference's single-GPU assert, base.py:411)
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard each step's image batch over this many "
+                        "devices (0 = single device, -1 = all devices)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 for multi-host runs")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("opts", nargs="*", help="dotlist overrides key=value")
+    return p.parse_args()
+
+
+def _resolve_dataset_file(cfg, args):
+    """Reference-style `dataset=waymo/3cams` key -> configs/datasets YAML
+    (project/tools/train.py:42-55)."""
+    if args.dataset_file:
+        return args.dataset_file
+    ds = cfg.get("dataset")
+    if not ds:
+        return None
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "configs", "datasets", f"{ds}.yaml")
+    return path if os.path.exists(path) else None
+
+
+def main():
+    args = parse_args()
+    # must precede every other jax call (backend init forbids it afterwards)
+    from ..parallel import distributed
+    multiprocess = distributed.maybe_initialize(distributed.DistConfig(
+        coordinator=args.coordinator, num_processes=args.num_processes,
+        process_id=args.process_id))
+    is_lead = jax.process_index() == 0
+    cfg = config_lib.load_config(args.config_file, None, args.opts)
+    ds_file = _resolve_dataset_file(cfg, args)
+    if ds_file:
+        cfg = config_lib.load_config(args.config_file, ds_file, args.opts)
+    log_dir = os.path.join(args.output_root, args.project, args.run_name)
+    if multiprocess and not is_lead:
+        log_dir = os.path.join(log_dir, f"proc{jax.process_index()}")
+    os.makedirs(log_dir, exist_ok=True)
+    setup_logging(log_dir)
+    config_lib.save_config(cfg, os.path.join(log_dir, "config.yaml"))
+    # per-run source snapshot for reproducibility (utils/backup.py:39-56,
+    # invoked by the reference per run at train.py:102-106)
+    from ..utils import backup as backup_lib
+    backup_lib.backup_project(log_dir)
+
+    key = jax.random.key(args.seed)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    synthetic_mode = cfg.get_path("data.synthetic", False)
+
+    if synthetic_mode:
+        tcfg, scene, params, statics, aux, masks = \
+            common.build_synthetic_scene(key, cfg, interpret)
+        num_frames = scene.num_frames
+        # pre-render GT targets once so training has something to fit
+        full = trainer.merge_statics(statics, aux)
+        fwd = jax.jit(functools.partial(trainer.forward, tcfg))
+        batches = []
+        for f in range(num_frames):
+            b = synthetic.make_batch(
+                scene, f, jnp.zeros((scene.height, scene.width, 3)))
+            out = fwd(params, full, masks, b, jnp.asarray(0))
+            b["pixels"] = jnp.clip(out["rgb"], 0, 1)
+            batches.append(b)
+        # perturb the optimized state so the run starts AWAY from the GT
+        # optimum (otherwise loss/PSNR are flat and the smoke proves nothing)
+        leaves, treedef = jax.tree.flatten(params)
+        leaf_keys = jax.random.split(jax.random.fold_in(key, 1), len(leaves))
+        params = jax.tree.unflatten(treedef, [
+            p + 0.05 * jax.random.normal(k, p.shape, p.dtype)
+            if p.dtype in (jnp.float32, jnp.bfloat16) else p
+            for p, k in zip(leaves, leaf_keys)])
+        get_batch = lambda idx, downscale=1: batches[idx]
+        train_indices = np.arange(num_frames)
+        num_images = num_frames
+        data = None
+        neighbor_map = {}
+    else:
+        tcfg, data, params, statics, aux, masks = \
+            common.build_real_scene(key, cfg, interpret)
+        test_stride = cfg.get_path("data.test_image_stride", 10)
+        train_indices, test_indices = data.split_train_test(test_stride)
+        neighbor_map = data.neighbor_train_indices(test_stride)
+        get_batch = data.get_batch
+        num_images = data.num_images
+
+    logger.info(f"classes: {trainer.gaussian_classes(tcfg)}  "
+                f"images: {num_images}")
+
+    state = trainer.init_state(key, tcfg, params, masks, aux)
+    if args.resume_from:
+        state = checkpoint.restore_checkpoint(args.resume_from, state)
+        logger.info(f"resumed from {args.resume_from} @ step {int(state.step)}")
+
+    # parallel plan: 0 = single device; N>0 / -1(all) = image batch sharded
+    # over a `data` mesh, grads pmean'd over ICI/DCN (data_parallel.py)
+    mesh = None
+    if multiprocess:
+        mesh = distributed.global_mesh()
+    elif args.data_parallel and (args.data_parallel < 0
+                                 or args.data_parallel > 1):
+        n_dev = (len(jax.devices()) if args.data_parallel < 0
+                 else args.data_parallel)
+        mesh = data_parallel.make_mesh(n_dev)
+    # multi-step dispatch (single-device path): scan K train steps inside
+    # one program — a dispatch costs ~6 ms on the serving tunnel, so K=8
+    # amortizes it to sub-ms/step (trainer.train_multi_step). Periodic
+    # host-side events (log/vis/ckpt/flush/res-schedule) land on window
+    # starts; windows shrink to meet them.
+    spd = max(int(cfg.get_path("trainer.steps_per_dispatch", 1) or 1), 1)
+    multi_step_fn = None
+    if mesh is not None:
+        logger.info(f"data-parallel over {mesh.size} devices "
+                    f"({jax.process_count()} processes)")
+        step_fn = data_parallel.parallel_train_step(tcfg, statics, mesh)
+        if spd > 1:
+            logger.info("steps_per_dispatch ignored on the parallel path")
+            spd = 1
+    else:
+        step_fn = jax.jit(functools.partial(trainer.train_step, tcfg,
+                                            statics))
+        if spd > 1:
+            multi_step_fn = jax.jit(functools.partial(
+                trainer.train_multi_step, tcfg, statics))
+    sampler = importance.ImageSampler(
+        num_images, cfg.get_path("data.num_cams", 1),
+        buffer_ratio=cfg.get_path("sampler.buffer_ratio", 0.5),
+        start_enhance_weight=cfg.get_path("sampler.start_enhance_weight", 1.0),
+        seed=args.seed)
+
+    max_steps = tcfg.max_steps
+    ckpt_every = cfg.get_path("logging.ckpt_every", 10000)
+    log_every = cfg.get_path("logging.log_every", 100)
+    vis_freq = int(cfg.get_path("logging.vis_freq", 0) or 0)
+    refresh_every = int(cfg.get_path("sampler.refresh_every", 0) or 0)
+    refresh_downscale = int(cfg.get_path("sampler.refresh_downscale", 4))
+    mlogger = MetricLogger(output_file=os.path.join(log_dir, "metrics.json"))
+    from ..utils import tb as tb_lib
+    from ..utils import visualization as vis_lib
+    tbw = tb_lib.TBWriter(os.path.join(log_dir, "tb"))
+    wb = tb_lib.WandbWriter(args.enable_wandb, args.project, args.run_name,
+                            config=dict(cfg), log_dir=log_dir)
+    if vis_freq > 0:
+        os.makedirs(os.path.join(log_dir, "images"), exist_ok=True)
+
+    def visualize(step: int) -> None:
+        """Render every camera of a sweeping timestep to a tiled
+        gt/render/depth/error snapshot (reference tools/train.py:196-246)."""
+        if data is None:
+            return
+        n_vis = max(max_steps // vis_freq, 1)
+        frame = int(np.linspace(0, data.num_frames, n_vis + 1,
+                                endpoint=False, dtype=int)[step // vis_freq])
+        idxs = np.flatnonzero(data.frame_of_image == frame)
+        res = render_loop.render_images(tcfg, state, statics, data, idxs,
+                                        neighbor_map=neighbor_map,
+                                        compute_metrics=True)
+        names = [data.camera_names()[int(data.cam_of_image[i])]
+                 for i in idxs]
+        grid = vis_lib.snapshot_grid(res, names, data.dataset,
+                                     max_depth=tcfg.max_depth)
+        vis_lib.save_png(grid, os.path.join(log_dir, "images",
+                                            f"step_{step}.png"))
+        agg = render_loop.aggregate_metrics(res["metrics"])
+        # sampler error-buffer heatmap (reference buffer-map videos,
+        # tools/train.py:320-350): per-image sampling weight as a
+        # (num_cams, frames) image
+        wts = sampler._weights(train_indices)
+        hm = np.zeros(num_images, np.float32)
+        hm[np.asarray(train_indices)] = wts / max(wts.max(), 1e-12)
+        ncam = max(int(cfg.get_path("data.num_cams", 1)), 1)
+        rows = -(-num_images // ncam)
+        hm = np.pad(hm, (0, rows * ncam - num_images)).reshape(rows, ncam).T
+        hm_img = np.repeat(np.repeat(hm, 8, 0), 8, 1)[..., None].repeat(3, -1)
+        tbw.image("sampler/error_buffer", hm_img, step)
+        wb.image("sampler/error_buffer", hm_img, step)
+        tbw.scalars({f"image_metrics/{k}": v for k, v in agg.items()}, step)
+        tbw.image("image_rendering/gt_rgbs_render_rgbs_depths_error", grid,
+                  step)
+        wb.scalars({f"image_metrics/{k}": v for k, v in agg.items()}, step)
+        wb.image("image_rendering/gt_rgbs_render_rgbs_depths_error", grid,
+                 step)
+
+    def refresh_error_buffer(step: int) -> None:
+        """Recompute every train image's error at low res so rarely-sampled
+        images don't keep stale priorities (reference refreshes pixel error
+        maps from full eval renders, pixel_source.py:948-983)."""
+        res = render_loop.render_images(
+            tcfg, state, statics, data, train_indices,
+            neighbor_map=neighbor_map, compute_metrics=False,
+            downscale=refresh_downscale)
+        for idx, pred, gt in zip(train_indices, res["rgbs"], res["gt_rgbs"]):
+            sampler.update_error(int(idx),
+                                 max(float(np.mean(np.abs(pred - gt))), 1e-6))
+        logger.info(f"error buffer refreshed over {len(train_indices)} "
+                    f"train images at 1/{refresh_downscale} res")
+
+    # coarse-to-fine resolution schedule (base.py:142-146): train at
+    # 1/2^downscale_times resolution, doubling every double_steps. Each
+    # resolution is a distinct static shape -> one re-jit per stage
+    # (jax caches per shape; downscale_times+1 compiles total).
+    rs_double = int(cfg.get_path("res_schedule.double_steps", 0) or 0)
+    rs_times = int(cfg.get_path("res_schedule.downscale_times", 0) or 0)
+
+    def sched_downscale(step: int) -> int:
+        if rs_double <= 0:
+            return 1
+        return 2 ** max(rs_times - step // rs_double, 0)
+
+    # ---- async metrics delivery (round-4): the loop never fetches a scalar
+    # for the step it just dispatched. Per-step device->host syncs cost
+    # ~24-28 ms each on this backend (ROADMAP timing finding #2) — more than
+    # a whole train step — so the NaN guard, the sampler's error updates, and
+    # the capacity-overflow watchdog all run off a pending window flushed
+    # with ONE batched device_get every `metrics_flush_every` steps. While
+    # the window fills, the host keeps dispatching: batch assembly and H2D
+    # transfers overlap device compute.
+    flush_every = max(int(cfg.get_path("logging.metrics_flush_every",
+                                       min(log_every, 50)) or 1), 1)
+    pending: list = []   # (step, idxs, device metrics dict)
+
+    # capacity-overflow recovery: densification can outgrow the intersection
+    # bucket mid-run; without a policy a capacity-starved run silently
+    # renders with dropped intersections for its remaining steps. Policies:
+    #   rebucket (default) — after `rebucket_after` consecutive overflowing
+    #     flush windows, grow isect_capacity to the next bucket fitting the
+    #     observed pre-truncation num_isects and re-jit the step (one
+    #     recompile, amortized — the bucketing policy of
+    #     pipeline.autotune_capacity);
+    #   error — raise on the first overflowing window;
+    #   ignore — metric-only (the pre-round-4 behavior).
+    from ..ops import pipeline
+    cap_policy = cfg.get_path("render.capacity_policy", "rebucket")
+    if cap_policy not in ("rebucket", "error", "ignore"):
+        raise ValueError(f"render.capacity_policy={cap_policy!r}")
+    cap_margin = float(cfg.get_path("render.capacity_margin", 1.35))
+    cap_floor = int(cfg.get_path("render.capacity_floor",
+                                 pipeline.CAP_BUCKET))
+    rebucket_after = int(cfg.get_path("render.rebucket_after", 2))
+    cap_state = {"bad_windows": 0, "max_isects": 0}
+
+    def flush_pending() -> None:
+        nonlocal tcfg, step_fn, multi_step_fn
+        if not pending:
+            return
+        vals = jax.device_get([
+            (m["loss"], m.get("isect_overflow", 0), m.get("num_isects", 0))
+            for (_, _, m) in pending])
+        window_overflow = 0.0
+        for (s, idxs_s, m), (lv, ov, ni) in zip(pending, vals):
+            lv = float(lv)
+            if not np.isfinite(lv):
+                raise RuntimeError(
+                    f"non-finite loss at step {s} (detected <= "
+                    f"{flush_every} steps later): "
+                    f"{ {k: float(v) for k, v in jax.device_get(m).items()} }")
+            for i in idxs_s:
+                sampler.update_error(int(i), max(lv, 1e-6))
+            window_overflow = max(window_overflow, float(ov))
+            cap_state["max_isects"] = max(cap_state["max_isects"], int(ni))
+        last_step = pending[-1][0]
+        pending.clear()
+        if cap_policy == "ignore" or window_overflow <= 0:
+            cap_state["bad_windows"] = 0
+            cap_state["max_isects"] = 0
+            return
+        if cap_policy == "error":
+            raise RuntimeError(
+                f"intersection capacity {tcfg.isect_capacity} overflowed "
+                f"(pre-truncation num_isects={cap_state['max_isects']}) at "
+                f"step <= {last_step}; render.capacity_policy=error")
+        cap_state["bad_windows"] += 1
+        if cap_state["bad_windows"] < rebucket_after:
+            return
+        new_cap = max(
+            pipeline.autotune_capacity(cap_state["max_isects"],
+                                       margin=cap_margin, floor=cap_floor),
+            tcfg.isect_capacity + pipeline.CAP_BUCKET
+            if cap_floor >= pipeline.CAP_BUCKET
+            else 2 * tcfg.isect_capacity)
+        logger.warning(
+            f"isect overflow persisted {cap_state['bad_windows']} flush "
+            f"windows (num_isects={cap_state['max_isects']}): re-bucketing "
+            f"capacity {tcfg.isect_capacity} -> {new_cap} (one recompile)")
+        tcfg = dataclasses.replace(tcfg, isect_capacity=new_cap)
+        if mesh is not None:
+            step_fn = data_parallel.parallel_train_step(tcfg, statics, mesh)
+        else:
+            step_fn = jax.jit(functools.partial(trainer.train_step, tcfg,
+                                                statics))
+            if multi_step_fn is not None:
+                multi_step_fn = jax.jit(functools.partial(
+                    trainer.train_multi_step, tcfg, statics))
+        cap_state["bad_windows"] = 0
+        cap_state["max_isects"] = 0
+
+    # live viewer attached to the training loop (reference init_viewer,
+    # base.py:755-762: render + train-speed stats + pause control)
+    live_viewer = None
+    if args.viewer_port and is_lead:
+        from . import viewer as viewer_mod
+
+        def _viewer_render(c2w, t):
+            from ..data.scene import _pixel_viewdirs
+            b = dict(get_batch(int(train_indices[0]), 1))
+            K_np = np.asarray(b["intrinsics"])
+            vh, vw = b["pixels"].shape[:2]
+            b["camera_to_world"] = jnp.asarray(c2w)
+            b["viewdirs"] = jnp.asarray(_pixel_viewdirs(vh, vw, K_np, c2w))
+            b["normed_time"] = jnp.asarray(t, jnp.float32)
+            full = trainer.merge_statics(statics, state.aux)
+            out = jax.jit(functools.partial(
+                trainer.forward, tcfg, novel_view=True, in_test_set=True))(
+                state.params, full, state.masks, b, state.step)
+            return np.asarray(out["rgb"])
+
+        live_viewer = viewer_mod.Viewer(_viewer_render,
+                                        port=args.viewer_port).start()
+        logger.info(f"live viewer at http://127.0.0.1:{live_viewer.port}/")
+
+    def window_len(s: int) -> int:
+        """Steps to scan in one dispatch from step s: capped by spd and by
+        the next host-side event. Pre-step events (visualize, error-buffer
+        refresh, a res-schedule change) need a window STARTING on their
+        step; post-step events (log, flush, checkpoint) need a window
+        ENDING right after theirs."""
+        k = min(spd, max_steps - s)
+        for prd in (vis_freq, refresh_every, rs_double):
+            if prd and prd > 0:
+                k = min(k, prd - s % prd)
+        for prd in (log_every, flush_every, ckpt_every):
+            if prd and prd > 0:
+                r = s % prd
+                k = min(k, (prd - r if r else 0) + 1)
+        return max(k, 1)
+
+    if os.environ.get("BILATERAL_TUNNEL_SLOW_MODE"):
+        # measurement aid for the axon serving tunnel: a fresh process
+        # starts in a fast mode whose block_until_ready returns BEFORE
+        # execution completes (ROADMAP timing finding #1), so the loop's
+        # window timings would report dispatch rate, not device rate. One
+        # big memory-bound program flips the process into the honest mode.
+        junk = jnp.ones((64, 2 ** 20), jnp.float32)
+        jax.block_until_ready(jax.jit(lambda x: (x * 1.5 + 2.0).sum())(junk))
+        del junk
+
+    t0 = time.time()
+    t_win = t0
+    win_start = int(state.step)
+    start_step = int(state.step)
+    step = start_step
+    while step < max_steps:
+        if live_viewer is not None:
+            live_viewer.wait_if_paused()
+        if vis_freq > 0 and step % vis_freq == 0:
+            visualize(step)
+        if refresh_every > 0 and data is not None and step > 0 \
+                and step % refresh_every == 0:
+            refresh_error_buffer(step)
+        ds = sched_downscale(step)
+        k = 1
+        if mesh is None:
+            k = window_len(step) if multi_step_fn is not None else 1
+            if k > 1:
+                idxs = [int(sampler.propose(train_indices))
+                        for _ in range(k)]
+                stacked = data_parallel.stack_batches(
+                    [get_batch(i, ds) for i in idxs])
+                state, ms = multi_step_fn(state, stacked)
+                for j in range(k):
+                    pending.append((step + j, [idxs[j]],
+                                    {kk: v[j] for kk, v in ms.items()}))
+                metrics = {kk: v[-1] for kk, v in ms.items()}
+            else:
+                idxs = [int(sampler.propose(train_indices))]
+                state, metrics = step_fn(state, get_batch(idxs[0], ds))
+        elif multiprocess:
+            # deterministic cross-host picks; each process builds only its
+            # local devices' images (no cross-host data exchange)
+            idxs = distributed.process_train_indices(
+                train_indices, args.seed, step, mesh)
+            local = data_parallel.stack_batches(
+                [get_batch(int(i), ds) for i in idxs])
+            gbatch = distributed.host_local_batch_to_global(local, mesh)
+            state, metrics = step_fn(state, gbatch)
+        else:
+            idxs = [int(sampler.propose(train_indices))
+                    for _ in range(mesh.size)]
+            stacked = data_parallel.stack_batches(
+                [get_batch(i, ds) for i in idxs])
+            state, metrics = step_fn(state,
+                                     data_parallel.shard_batch(stacked, mesh))
+        if k == 1:
+            pending.append((step, idxs, metrics))
+        last = step + k - 1       # post-step events key off the window end
+        if last % flush_every == 0 or last == max_steps - 1:
+            flush_pending()
+        if last % log_every == 0:
+            flush_pending()
+            fetched = jax.device_get(metrics)
+            m = {kk: float(v) for kk, v in fetched.items()
+                 if not kk.startswith("loss/")}
+            mlogger.update(**m)
+            mlogger.dump(last)
+            tbw.scalars({kk: float(v) for kk, v in fetched.items()}, last)
+            wb.scalars({kk: float(v) for kk, v in fetched.items()}, last)
+            now = time.time()
+            win_ms = (now - t_win) / max(last - win_start, 1) * 1e3
+            t_win, win_start = now, last
+            if live_viewer is not None:
+                live_viewer.update_stats(
+                    step=last, steps_per_s=1e3 / max(win_ms, 1e-9),
+                    num_points=sum(int(v) for kk, v in fetched.items()
+                                   if kk.startswith("num_points/")),
+                    loss=m.get("loss", float("nan")))
+            logger.info(
+                f"step {last}/{max_steps} " +
+                " ".join(f"{kk}={v:.4f}" for kk, v in m.items()) +
+                f" ({(now - t0) / max(last - start_step, 1):.3f}s/it, "
+                f"win {win_ms:.1f}ms/it)")
+        if last > 0 and last % ckpt_every == 0:
+            flush_pending()
+            path = checkpoint.save_checkpoint(
+                os.path.join(log_dir, "checkpoints"), state)
+            logger.info(f"checkpoint: {path}")
+        step += k
+    flush_pending()
+
+    path = checkpoint.save_checkpoint(
+        os.path.join(log_dir, "checkpoints"), state, step=max_steps)
+    logger.info(f"final checkpoint: {path}")
+
+    # final quick eval on the test split (real scenes)
+    if data is not None:
+        _, test_indices = data.split_train_test(
+            cfg.get_path("data.test_image_stride", 10))
+        if len(test_indices):
+            results = render_loop.render_images(
+                tcfg, state, statics, data, test_indices[:20],
+                neighbor_map=neighbor_map, compute_metrics=True)
+            agg = render_loop.aggregate_metrics(results["metrics"])
+            logger.info(f"test metrics: {agg}")
+            import json
+
+            with open(os.path.join(log_dir, "test_metrics.json"), "w") as f:
+                json.dump(agg, f, indent=2)
+    tbw.close()
+    wb.close()
+
+
+if __name__ == "__main__":
+    main()
