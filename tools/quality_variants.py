@@ -34,6 +34,10 @@ COMMON = [
     "background_init.num_lidar_samples=12000",
     "background_init.num_near_pts=4000", "background_init.num_far_pts=4000",
     "density.warmup_steps=300", "density.refine_interval=200",
+    # the method configs carry the 30k-step protocol's coarse-to-fine
+    # (1/8 res, doubling every 5000) — at fixture length that would never
+    # leave 12x8 px; use the flagship smoke's schedule instead
+    "res_schedule.double_steps=400", "res_schedule.downscale_times=1",
     "logging.ckpt_every=1000000", "logging.vis_freq=0",
     "logging.log_every=240", "logging.metrics_flush_every=240",
 ]
