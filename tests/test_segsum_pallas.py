@@ -34,6 +34,30 @@ def test_matches_dense_reference(n, cap, maxc):
                                atol=1e-4)
 
 
+@pytest.mark.parametrize("n,cap,maxc,row0", [
+    (300, 4096, 7, 4),       # d_table placement (FEAT0=4)
+    (513, 8192, 3, 0),       # block boundary straddles (G_BLK=512)
+    (1025, 2048, 2, 6),      # many empties, max row offset for 10 rows
+])
+def test_split_rows_matches_dense_reference(n, cap, maxc, row0):
+    """segment_sum_rows consumes R separate 1-D arrays (the lax.sort
+    outputs) and must place per-segment sums at rows row0..row0+R with
+    zeros elsewhere."""
+    rng = np.random.RandomState(n)
+    counts = rng.randint(0, maxc + 1, n)
+    offsets = np.minimum(np.concatenate([[0], np.cumsum(counts)]),
+                         cap).astype(np.int32)
+    nr = 10
+    data = rng.randn(nr, cap).astype(np.float32)
+    rows = tuple(jnp.asarray(data[j]) for j in range(nr))
+    out = np.asarray(sp.segment_sum_rows(rows, jnp.asarray(offsets),
+                                         row0=row0, interpret=True))
+    ref = _ref(data, offsets)
+    np.testing.assert_allclose(out[row0:row0 + nr], ref, atol=1e-4)
+    assert np.all(out[:row0] == 0.0)
+    assert np.all(out[row0 + nr:] == 0.0)
+
+
 def test_huge_segment_spans_many_tiles():
     """One gaussian whose window covers many TILE_L tiles (the dynamic
     fori_loop path), mixed with empty and tiny segments."""

@@ -130,6 +130,16 @@ def main():
     def f_segsum_kernel(i):
         return jnp.sum(sp.segment_sum(d16 + i, offs_c))
 
+    def f2_segsum_split(i):
+        rows = tuple(d_feats[j] + i for j in range(NP))
+        return jnp.sum(sp.segment_sum_rows(rows, offs_c, row0=4))
+
+    def f3_stack16(i):
+        zrow = jnp.zeros((cap,), jnp.float32)
+        d = jnp.stack([zrow] * 4 + [d_feats[j] + i for j in range(NP)]
+                      + [zrow] * 2, axis=0)
+        return jnp.sum(d[:, ::257])
+
     def g_bc_replacement(i):
         # what the kernel replaces: cumsum + boundary gather + diff
         cs = scan_utils.cumsum_rows(d_feats + i)
@@ -144,6 +154,8 @@ def main():
                      ("D dside merge", d_dside),
                      ("E zeros(16,cap)", e_zeros),
                      ("F pallas segsum kernel", f_segsum_kernel),
+                     ("F2 segsum split-input", f2_segsum_split),
+                     ("F3 16-row stack alone", f3_stack16),
                      ("G cumsum+gather+diff (replaced)", g_bc_replacement)]:
         dt = time_loop(fn, iters=args.iters)
         print(f"{name:30s} {dt * 1e3:8.2f} ms", flush=True)
