@@ -26,11 +26,20 @@ prefix scan, no gather anywhere:
     one-pass MXU matmuls with f32 accumulation — rel err ~2^-8K (K=3 is
     f32-equivalent), vs 6 passes for a HIGHEST-precision f32 dot.
 
-Modes (BILATERAL_SEGSUM env): "split" (default: `segment_sum_rows`, which
-consumes the R sorted 1-D cotangent arrays straight from `lax.sort` — no
-(16, cap) stack materialization — with 3 bf16 limbs), "mxu3" (stacked
-(16, cap) input, 3 bf16 limbs), "mxuK", "highest" (f32 HIGHEST dot),
-"xla" (round-3 cumsum+gather path, kept as fallback and for A/B).
+Modes (BILATERAL_SEGSUM env): "mxu3" (default: stacked (16, cap) input,
+3 bf16 limbs — hardware-proven, 8.76 Mpix/s bench r4), "split"
+(`segment_sum_rows`, which consumes the R sorted 1-D cotangent arrays
+straight from `lax.sort` — no (16, cap) stack materialization — with
+3 bf16 limbs), "mxuK", "highest" (f32 HIGHEST dot), "xla" (round-3
+cumsum+gather path, kept as fallback and for A/B).
+
+Round-5 note: the original split kernel DMA'd each payload row into a
+single sublane of the streaming buffer, which Mosaic rejects on real
+hardware (sublane slices must be 8-aligned) — it only ever ran in
+interpret mode, and shipping it as default broke BENCH_r04. The split
+kernel now lands each row in its own (8, 128)-shaped block (sublane-
+aligned by construction) and contracts per sublane-group; defaults are
+only flipped after tools/driver_smoke.py passes on-chip.
 """
 from __future__ import annotations
 
@@ -50,7 +59,7 @@ TILE_L = 512     # window lanes streamed per DMA tile (stacked kernel)
 # tiling for rank-1 arrays), so its stream tile is 1024 lanes
 TILE_R = 1024
 
-_MODE = os.environ.get("BILATERAL_SEGSUM", "split")
+_MODE = os.environ.get("BILATERAL_SEGSUM", "mxu3")
 if not re.match(r"^(xla|highest|split|mxu[1-9])$", _MODE):
     raise ValueError(
         f"BILATERAL_SEGSUM={_MODE!r}: expected 'xla', 'highest', 'split', "
@@ -120,11 +129,39 @@ def _kernel(se_ref, offs_ref, data_hbm, out_ref, acc, buf, sem):
     out_ref[...] = acc[...]
 
 
+def _acc_tile_grouped(acc, x3, base, lo, hi):
+    """acc (FEAT, G_BLK) += masked contraction of x3 (FEAT, 8, 128) f32,
+    where element (f, s, c) sits at global lane position base + s*128 + c
+    and membership in segment g is lo[g] <= pos < hi[g]. One MXU matmul
+    (contraction 128) per sublane-group per bf16 limb — numerically
+    identical to _acc_tile's decomposition (masks are exact 0/1 in bf16)."""
+    n_limbs = max(_LIMBS, 1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+    rem = x3
+    limbs = []
+    for _ in range(n_limbs):
+        h = rem.astype(jnp.bfloat16)
+        limbs.append(h)
+        rem = rem - h.astype(jnp.float32)
+    for s in range(8):
+        pos = base + s * 128 + ci                       # (128, 1)
+        m = ((pos >= lo) & (pos < hi)).astype(jnp.bfloat16)  # (128, G_BLK)
+        for h in limbs:
+            acc[...] += jax.lax.dot_general(
+                h[:, s, :], m, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+
+
 def _kernel_rows(row0, n_rows, se_ref, offs_ref, *rest):
     """Split-input variant: the R payload cotangent arrays arrive as R
-    separate 1-D HBM operands (exactly what `lax.sort` returns), DMA'd
-    per tile into sublanes row0..row0+R of the streaming buffer — the
-    (FEAT, cap) stack relayout the stacked path pays never exists."""
+    separate 1-D HBM operands (exactly what `lax.sort` returns) reshaped
+    to (cap//128, 128); each row's 1024-lane tile is DMA'd as an (8, 128)
+    block into its own sublane-aligned slot of the streaming buffer — the
+    (FEAT, cap) stack relayout the stacked path pays never exists, and
+    every VMEM DMA target is a full (8, 128) tile (Mosaic requires
+    sublane slices 8-aligned; the round-4 single-sublane targets did not
+    compile on hardware)."""
     rows_hbm = rest[:n_rows]
     out_ref, acc, buf, sem = rest[n_rows:]
     b = pl.program_id(0)
@@ -133,13 +170,16 @@ def _kernel_rows(row0, n_rows, se_ref, offs_ref, *rest):
     astart = (start // TILE_R) * TILE_R
     nt = jnp.where(end > astart, (end - astart + TILE_R - 1) // TILE_R, 0)
     acc[...] = jnp.zeros_like(acc)
-    # dead sublanes (outside row0..row0+R) contribute zeros to every tile
-    buf[...] = jnp.zeros_like(buf)
+    # dead row-blocks (outside row0..row0+R) are never DMA'd; zero them
+    # once — scratch persists across grid programs (ADVICE r4 item 3)
+    @pl.when(b == 0)
+    def _():
+        buf[...] = jnp.zeros_like(buf)
 
     def dmas(slot, t):
-        base = pl.multiple_of(astart + t * TILE_R, TILE_R)
+        r0 = pl.multiple_of((astart // 128) + t * 8, 8)
         return [pltpu.make_async_copy(
-            rows_hbm[j].at[pl.ds(base, TILE_R)],
+            rows_hbm[j].at[pl.ds(r0, 8)],
             buf.at[slot, row0 + j], sem.at[slot, j])
             for j in range(n_rows)]
 
@@ -159,9 +199,8 @@ def _kernel_rows(row0, n_rows, se_ref, offs_ref, *rest):
         for c in dmas(slot, t):
             c.wait()
         base = astart + t * TILE_R
-        lane = base + jax.lax.broadcasted_iota(jnp.int32, (TILE_R, 1), 0)
-        m = ((lane >= offs_ref[0, 0:1, :]) & (lane < offs_ref[0, 1:2, :]))
-        _acc_tile(acc, buf[slot], m)
+        _acc_tile_grouped(acc, buf[slot], base,
+                          offs_ref[0, 0:1, :], offs_ref[0, 1:2, :])
         return 0
 
     jax.lax.fori_loop(0, nt, body, 0)
@@ -175,6 +214,10 @@ def segment_sum(data: jax.Array, offsets: jax.Array,
     segment boundaries (offsets[-1] <= cap). Returns (FEAT, N) sums.
     cap must be a multiple of TILE_L (capacity buckets are 2^17-aligned)."""
     feat, cap = data.shape
+    assert _MODE != "xla", (
+        "segment_sum called with BILATERAL_SEGSUM=xla: the xla mode has no "
+        "Pallas kernel; callers must branch to the cumsum+gather path "
+        "instead (a 1-limb bf16 kernel here would silently lose precision)")
     assert feat == FEAT, f"pad features to {FEAT} sublanes (got {feat})"
     assert cap % TILE_L == 0, f"cap {cap} not a multiple of {TILE_L}"
     n = offsets.shape[0] - 1
@@ -223,11 +266,18 @@ def segment_sum_rows(rows, offsets: jax.Array, row0: int = 0,
     `offsets` (N+1,) i32 sorted segment boundaries. Returns (FEAT, N)
     where output row `row0 + j` is the per-segment sum of rows[j] and all
     other rows are zero — i.e. with row0 = table FEAT0, the result IS the
-    lane-major d_table. cap must be a multiple of TILE_L."""
+    lane-major d_table. cap must be a multiple of TILE_R (capacity buckets
+    are 2^17-aligned, so this always holds in the pipeline)."""
     n_rows = len(rows)
     assert row0 + n_rows <= FEAT
+    assert _MODE != "xla", (
+        "segment_sum_rows called with BILATERAL_SEGSUM=xla: the xla mode "
+        "has no Pallas kernel; callers must branch to the cumsum+gather "
+        "path instead (a 1-limb bf16 kernel here would silently lose "
+        "precision)")
     cap = rows[0].shape[0]
     assert cap % TILE_R == 0, f"cap {cap} not a multiple of {TILE_R}"
+    rows = tuple(r.reshape(cap // 128, 128) for r in rows)
     n = offsets.shape[0] - 1
     n_prog = -(-n // G_BLK)
     n_pad = n_prog * G_BLK
@@ -250,7 +300,7 @@ def segment_sum_rows(rows, offsets: jax.Array, row0: int = 0,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((FEAT, G_BLK), jnp.float32),
-            pltpu.VMEM((2, FEAT, TILE_R), jnp.float32),
+            pltpu.VMEM((2, FEAT, 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, n_rows)),
         ],
     )
