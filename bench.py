@@ -106,11 +106,18 @@ def main():
             dt = min(dt, marginal)
     mpix_s = W * H / dt / 1e6
     baseline_a100 = 25.0
+    # v5e roofline ceiling for this algorithm at this operating point:
+    # ~13.4 ms fwd+bwd floor => ~13 Mpix/s (ROADMAP round-4 per-stage
+    # table; BASELINE.md "hardware context" projects the same pipeline to
+    # the v5p target where the A100 anchor applies)
+    v5e_ceiling = 13.0
     print(json.dumps({
         "metric": "rasterize_fwd_bwd_throughput",
         "value": round(mpix_s, 3),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / baseline_a100, 4),
+        "vs_v5e_roofline": round(mpix_s / v5e_ceiling, 4),
+        "bench_chip": jax.devices()[0].device_kind,
     }))
 
 
