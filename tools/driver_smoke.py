@@ -131,8 +131,13 @@ def _run_probe(name, env, probes):
            ",".join(probes)]
     full_env = dict(os.environ, **env)
     t0 = time.time()
-    r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
-                       env=full_env, timeout=1200)
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                           env=full_env, timeout=1800)
+    except subprocess.TimeoutExpired:
+        return {"name": name, "ok": False,
+                "seconds": round(time.time() - t0, 1),
+                "tail": "TIMEOUT (1800s)"}
     dt = time.time() - t0
     ok = r.returncode == 0
     tail = (r.stdout + r.stderr).strip().splitlines()[-1] if not ok else \
@@ -150,6 +155,11 @@ def main():
                     help="internal: run probes in-process (comma list)")
     ap.add_argument("--skip-bench", action="store_true",
                     help="skip the final `python bench.py` run")
+    ap.add_argument("--quick", action="store_true",
+                    help="gate mode: defaults + the non-default segsum "
+                         "kernel only (~25 min); the full matrix took "
+                         "78 min on the tunnel (all-PASS r5 run in "
+                         "ROADMAP) and is for kernel-change rounds")
     args = ap.parse_args()
 
     if args.probe:
@@ -162,7 +172,8 @@ def main():
         return
 
     results = []
-    for name, env in MODE_MATRIX:
+    matrix = MODE_MATRIX[:2] if args.quick else MODE_MATRIX
+    for name, env in matrix:
         probes = ["pipeline", "aux", "entry"] if name == "defaults" else \
             ["pipeline"]
         results.append(_run_probe(name, env, probes))

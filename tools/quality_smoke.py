@@ -13,7 +13,7 @@ set in advance, not yesterday's measurement minus epsilon:
   full-split PSNR >= 22, and per-class human/vehicle masked metrics
   present in the artifact.
 
-Records wall-clock and steps/s to QUALITY_r04.json. Run on the real chip
+Records wall-clock, steps/s, and geo metrics to QUALITY_r05.json. Run on the real chip
 from the repo root:
 
     python tools/quality_smoke.py [--steps 5000] [--out QUALITY_r04.json]
@@ -40,10 +40,14 @@ FULL_PSNR_FLOOR = 22.0
 FULL_SSIM_FLOOR = 0.60
 
 
+def _f(v):
+    return float(v) if v is not None else float("nan")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=5000)
-    p.add_argument("--out", default=os.path.join(REPO, "QUALITY_r04.json"))
+    p.add_argument("--out", default=os.path.join(REPO, "QUALITY_r05.json"))
     p.add_argument("--workdir", default=None)
     args = p.parse_args()
 
@@ -99,7 +103,7 @@ def main():
     run_dir = pathlib.Path(workdir) / "bilateral_driving_tpu" / run_name
     ev = subprocess.run(
         [sys.executable, "-m", "bilateral_driving_tpu.tools.eval",
-         "--log_dir", str(run_dir)],
+         "--log_dir", str(run_dir), "--compute_geo"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=3600)
     sys.stdout.write(ev.stdout[-2000:])
     sys.stderr.write(ev.stderr[-2000:])
@@ -130,6 +134,19 @@ def main():
         "test_vehicle_psnr": round(float(metrics.get("vehicle_psnr", float("nan"))), 3),
         "test_dynamic_psnr": round(float(metrics.get("dynamic_psnr", float("nan"))), 3),
         "lpips": metrics.get("lpips"),
+        # geometry metrics from the trained model (VERDICT r4 item 4; the
+        # reference dumps these in tools/eval_metrics.py:52-75): depth RMSE/
+        # median-SE on lidar hits + chamfer (all / percentile-trimmed /
+        # per-class) from backprojected depth
+        "test_depth_rmse": _f(metrics.get("depth_rmse")),
+        "test_depth_med_se": _f(metrics.get("depth_med_se")),
+        "test_chamfer": _f(metrics.get("chamfer")),
+        "test_chamfer_p97": _f(metrics.get("chamfer_p97")),
+        "test_chamfer_dynamic": _f(metrics.get("chamfer_dynamic")),
+        "test_chamfer_human": _f(metrics.get("chamfer_human")),
+        "test_chamfer_vehicle": _f(metrics.get("chamfer_vehicle")),
+        "full_depth_rmse": _f(full.get("depth_rmse")),
+        "full_chamfer": _f(full.get("chamfer")),
         "floors": {"psnr": PSNR_FLOOR, "ssim": SSIM_FLOOR,
                    "full_psnr": FULL_PSNR_FLOOR,
                    "full_ssim": FULL_SSIM_FLOOR},
@@ -142,6 +159,10 @@ def main():
     assert full["psnr"] >= FULL_PSNR_FLOOR, full
     assert full["ssim"] >= FULL_SSIM_FLOOR, full
     import math
+    assert math.isfinite(artifact["test_depth_rmse"]), \
+        "geo metrics missing from eval --compute_geo"
+    assert math.isfinite(artifact["test_chamfer"]), \
+        "chamfer missing from eval --compute_geo"
     assert math.isfinite(artifact["test_human_psnr"]), \
         "human-masked test metric missing"
     assert math.isfinite(artifact["test_vehicle_psnr"]), \
