@@ -112,6 +112,29 @@ def _probe_aux_kernels():
     c1 = jax.jit(lambda a: scan_pallas.scan1d(a, "sum"))(x1)
     np.testing.assert_allclose(np.asarray(c1), np.cumsum(np.asarray(x1)),
                                rtol=1e-4, atol=1e-2)
+
+    # segsum kernels vs a dense numpy reference ON HARDWARE (the CPU suite
+    # only exercises interpret mode — ADVICE r4 item 4): both the stacked
+    # and the split-input entry points, asserted numerics not just compile
+    from bilateral_driving_tpu.ops import segsum_pallas as sp
+    if sp._MODE != "xla":
+        rng = np.random.RandomState(7)
+        cap, nseg = 1 << 17, 30_000
+        counts = rng.randint(0, 9, nseg)
+        offs = np.minimum(np.concatenate([[0], np.cumsum(counts)]),
+                          cap).astype(np.int32)
+        data = rng.randn(10, cap).astype(np.float32)
+        ref = np.stack([data[:, offs[g]:offs[g + 1]].sum(1)
+                        for g in range(nseg)], 1)
+        d16 = np.zeros((sp.FEAT, cap), np.float32)
+        d16[4:14] = data
+        out_s = np.asarray(sp.segment_sum(jnp.asarray(d16),
+                                          jnp.asarray(offs)))
+        np.testing.assert_allclose(out_s[4:14], ref, atol=2e-5)
+        rows = tuple(jnp.asarray(data[j]) for j in range(10))
+        out_r = np.asarray(sp.segment_sum_rows(rows, jnp.asarray(offs),
+                                               row0=4))
+        np.testing.assert_allclose(out_r[4:14], ref, atol=2e-5)
     return {"aux": "ok"}
 
 

@@ -4,7 +4,7 @@ The flagship (omnire_ms_bilateral + SMPL) has an asserted quality harness
 (tools/quality_smoke.py). The PVG and DeformableGS background families were
 only ever unit-tested — this runs each for --steps on the proto fixture
 (interior stride-10 holdout, like the flagship) and records test/full
-metrics to QUALITY_r04_variants.json. Informational (no asserted floors
+metrics to QUALITY_r05_variants.json. Informational (no asserted floors
 beyond finiteness): these single-class variants model the scene's dynamics
 through temporal vibration / a deform net rather than explicit nodes, so
 their fixture-scale numbers sit below the flagship's by design.
@@ -81,7 +81,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--out",
-                   default=os.path.join(REPO, "QUALITY_r04_variants.json"))
+                   default=os.path.join(REPO, "QUALITY_r05_variants.json"))
     p.add_argument("--workdir", default=None)
     args = p.parse_args()
     workdir = args.workdir or os.path.join(REPO, "work_dirs",

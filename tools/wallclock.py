@@ -14,11 +14,11 @@ compares against the in-program-loop step time from the same build
   * in-program baseline = a lax.fori_loop of train_steps on the same
     TrainerConfig/shapes, timed marginally (N vs 2N iterations);
   * asserts CLI steady-state <= ratio_max x in-program step;
-  * writes WALLCLOCK_r04.json with both numbers and the 30k-step/scene
+  * writes WALLCLOCK_r05.json with both numbers and the 30k-step/scene
     extrapolation.
 
 Run on the real chip from the repo root:
-    python tools/wallclock.py [--steps 400] [--out WALLCLOCK_r04.json]
+    python tools/wallclock.py [--steps 400] [--out WALLCLOCK_r05.json]
 """
 import argparse
 import json
@@ -145,7 +145,7 @@ def inprogram_step_ms():
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=400)
-    p.add_argument("--out", default=os.path.join(REPO, "WALLCLOCK_r04.json"))
+    p.add_argument("--out", default=os.path.join(REPO, "WALLCLOCK_r05.json"))
     p.add_argument("--workdir", default=None)
     p.add_argument("--skip-inprogram", action="store_true")
     args = p.parse_args()
