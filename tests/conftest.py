@@ -17,3 +17,8 @@ import jax  # noqa: E402
 # "axon,cpu" before conftest ran, so the env var alone is not enough.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end CLI/train tests")
