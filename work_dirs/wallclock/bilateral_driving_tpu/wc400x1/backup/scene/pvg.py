@@ -41,7 +41,14 @@ def init_extras(key, capacity: int, num_points: int, t_init: jax.Array | None,
         taus = taus.at[:num_points].set(t_init * time_scale)
     return {
         "taus": taus,
-        "log_betas": jnp.full((capacity,), jnp.log(beta_init)),
+        # reference stores log(sqrt(betas_init)) (pvg.py:55-56:
+        # betas = sqrt(ones * ctrl.betas_init); _betas = log(betas)) — the
+        # effective life span is sqrt(0.1) ~ 0.316, wide enough to keep
+        # every point visible across the clip at init. Without the sqrt
+        # the marginal-visibility window is 3.16x too narrow and renders
+        # collapse within a few steps (found by the round-4 on-chip PVG
+        # convergence run).
+        "log_betas": jnp.full((capacity,), 0.5 * jnp.log(beta_init)),
         "velocity": jnp.zeros((capacity, 3)),
     }
 

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..data import importance, synthetic
 from ..eval import render_loop
-from ..parallel import data_parallel
+from ..parallel import data_parallel, tile_parallel
 from ..train import checkpoint, trainer
 from ..utils import config as config_lib
 from ..utils.logging import MetricLogger, setup_logging, logger
@@ -49,6 +49,11 @@ def parse_args():
                         "0 = off")
     # multi-chip / multi-host (parallel/{data_parallel,distributed}.py —
     # new capability over the reference's single-GPU assert, base.py:411)
+    p.add_argument("--tile_parallel", type=int, default=0,
+                   help="shard each image's rasterization into N horizontal"
+                        " bands over a `tile` mesh axis (hybrid with"
+                        " --data_parallel; parallel/tile_parallel.py)."
+                        " render.isect_capacity is PER BAND")
     p.add_argument("--data_parallel", type=int, default=0,
                    help="shard each step's image batch over this many "
                         "devices (0 = single device, -1 = all devices)")
@@ -145,10 +150,23 @@ def main():
         logger.info(f"resumed from {args.resume_from} @ step {int(state.step)}")
 
     # parallel plan: 0 = single device; N>0 / -1(all) = image batch sharded
-    # over a `data` mesh, grads pmean'd over ICI/DCN (data_parallel.py)
+    # over a `data` mesh, grads pmean'd over ICI/DCN (data_parallel.py);
+    # --tile_parallel T>1 additionally band-shards each image's
+    # rasterization over a `tile` axis (hybrid data x tile mesh,
+    # parallel/tile_parallel.py)
     mesh = None
+    tile_n = max(args.tile_parallel, 0)
     if multiprocess:
+        if tile_n > 1:
+            raise ValueError("--tile_parallel with --num_processes is not "
+                             "supported yet (tile bands are intra-host)")
         mesh = distributed.global_mesh()
+    elif tile_n > 1:
+        if args.data_parallel < 0:
+            d_n = len(jax.devices()) // tile_n
+        else:
+            d_n = max(args.data_parallel, 1)
+        mesh = tile_parallel.make_hybrid_mesh(d_n, tile_n)
     elif args.data_parallel and (args.data_parallel < 0
                                  or args.data_parallel > 1):
         n_dev = (len(jax.devices()) if args.data_parallel < 0
@@ -161,16 +179,33 @@ def main():
     # starts; windows shrink to meet them.
     spd = max(int(cfg.get_path("trainer.steps_per_dispatch", 1) or 1), 1)
     multi_step_fn = None
+    tile_mesh = mesh is not None and "tile" in mesh.axis_names
+    # batch rows fed per step: data-axis width (1 under a tile-only mesh)
+    batch_rows = mesh.shape["data"] if tile_mesh else (
+        mesh.size if mesh is not None else 1)
+
+    def make_step_fn(c):
+        """(re)build the jitted step for the active parallel plan — also
+        the capacity-rebucket path, so the self-heal works identically
+        under single-device, data, and hybrid data x tile meshes."""
+        if tile_mesh:
+            return tile_parallel.tile_train_step(c, statics, mesh,
+                                                 data_axis="data")
+        if mesh is not None:
+            return data_parallel.parallel_train_step(c, statics, mesh)
+        return jax.jit(functools.partial(trainer.train_step, c, statics))
+
     if mesh is not None:
-        logger.info(f"data-parallel over {mesh.size} devices "
-                    f"({jax.process_count()} processes)")
-        step_fn = data_parallel.parallel_train_step(tcfg, statics, mesh)
+        logger.info(
+            (f"hybrid data x tile over {dict(mesh.shape)}"
+             if tile_mesh else f"data-parallel over {mesh.size} devices")
+            + f" ({jax.process_count()} processes)")
+        step_fn = make_step_fn(tcfg)
         if spd > 1:
             logger.info("steps_per_dispatch ignored on the parallel path")
             spd = 1
     else:
-        step_fn = jax.jit(functools.partial(trainer.train_step, tcfg,
-                                            statics))
+        step_fn = make_step_fn(tcfg)
         if spd > 1:
             multi_step_fn = jax.jit(functools.partial(
                 trainer.train_multi_step, tcfg, statics))
@@ -324,6 +359,9 @@ def main():
         cap_state["bad_windows"] += 1
         if cap_state["bad_windows"] < rebucket_after:
             return
+        # under a tile mesh, num_isects is the total across bands while
+        # capacity is per band: bucketing the per-band capacity to the
+        # global total is a safe (if conservative) upper bound
         new_cap = max(
             pipeline.autotune_capacity(cap_state["max_isects"],
                                        margin=cap_margin, floor=cap_floor),
@@ -335,14 +373,10 @@ def main():
             f"windows (num_isects={cap_state['max_isects']}): re-bucketing "
             f"capacity {tcfg.isect_capacity} -> {new_cap} (one recompile)")
         tcfg = dataclasses.replace(tcfg, isect_capacity=new_cap)
-        if mesh is not None:
-            step_fn = data_parallel.parallel_train_step(tcfg, statics, mesh)
-        else:
-            step_fn = jax.jit(functools.partial(trainer.train_step, tcfg,
-                                                statics))
-            if multi_step_fn is not None:
-                multi_step_fn = jax.jit(functools.partial(
-                    trainer.train_multi_step, tcfg, statics))
+        step_fn = make_step_fn(tcfg)
+        if mesh is None and multi_step_fn is not None:
+            multi_step_fn = jax.jit(functools.partial(
+                trainer.train_multi_step, tcfg, statics))
         cap_state["bad_windows"] = 0
         cap_state["max_isects"] = 0
 
@@ -437,11 +471,13 @@ def main():
             state, metrics = step_fn(state, gbatch)
         else:
             idxs = [int(sampler.propose(train_indices))
-                    for _ in range(mesh.size)]
+                    for _ in range(batch_rows)]
             stacked = data_parallel.stack_batches(
                 [get_batch(i, ds) for i in idxs])
-            state, metrics = step_fn(state,
-                                     data_parallel.shard_batch(stacked, mesh))
+            sharded = (tile_parallel.shard_data_batch(stacked, mesh)
+                       if tile_mesh
+                       else data_parallel.shard_batch(stacked, mesh))
+            state, metrics = step_fn(state, sharded)
         if k == 1:
             pending.append((step, idxs, metrics))
         last = step + k - 1       # post-step events key off the window end

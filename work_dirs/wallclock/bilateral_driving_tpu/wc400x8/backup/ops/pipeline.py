@@ -227,8 +227,13 @@ def _expand_sort_pallas_do(table_T, offsets, num_isects, cap, ntx, n_tiles,
     ops = (key, gid) + tuple(feats[i] for i in range(N_PAYLOAD))
     sorted_ = jax.lax.sort(ops, dimension=0, num_keys=2, is_stable=False)
     key_s, gid_s = sorted_[0], sorted_[1]
-    feats_s = jnp.stack(sorted_[2:], axis=0)            # (N_PAYLOAD, cap)
-    return (key_s, gid_s, feats_s), gid_s
+    # one stack straight into the kernel's 16-sublane feature layout
+    # (payload rows 0..9 + 6 zero rows) — the caller-side pad concat would
+    # cost a second (16, cap) materialization in fwd AND a row slice in bwd
+    zrow = jnp.zeros((cap,), sorted_[2].dtype)
+    feats16 = jnp.stack(
+        list(sorted_[2:]) + [zrow] * (FEAT - N_PAYLOAD), axis=0)
+    return (key_s, gid_s, feats16), gid_s
 
 
 def _expand_sort_pallas_fwd(table_T, offsets, num_isects, cap, ntx, n_tiles,
@@ -240,7 +245,7 @@ def _expand_sort_pallas_fwd(table_T, offsets, num_isects, cap, ntx, n_tiles,
 
 def _expand_sort_pallas_bwd(cap, ntx, n_tiles, n_orig, interpret, res, cots):
     gid_s, offsets, num_isects, tshape = res
-    _, _, d_feats_s = cots
+    _, _, d_feats16 = cots
     # segment-sum per Gaussian: re-sorting the cotangents by Gaussian id
     # reproduces the expansion grouping (within-segment order is irrelevant
     # to a sum, so no expansion index needs to ride the forward sort —
@@ -248,24 +253,41 @@ def _expand_sort_pallas_bwd(cap, ntx, n_tiles, n_orig, interpret, res, cots):
     # tools/profile_segsum.py). Invalid entries carry gid n_orig and zero
     # cotangents (kernel masks out-of-range lanes), landing past
     # offsets[-1]; d_table is lane-major (TABLE_ROWS, N'): feature rows
-    # FEAT0..FEAT0+NFEAT get the per-Gaussian sums, span rows stay zero
+    # FEAT0..FEAT0+NFEAT get the per-Gaussian sums, span rows stay zero.
+    # The cotangent arrives as the kernel-layout (16, cap) (pad rows are
+    # dead); only the 10 payload rows ride the unsort.
     unsorted = jax.lax.sort(
-        (gid_s,) + tuple(d_feats_s[i] for i in range(N_PAYLOAD)),
+        (gid_s,) + tuple(d_feats16[i] for i in range(N_PAYLOAD)),
         dimension=0, num_keys=1, is_stable=False)
-    d_exp = jnp.stack(unsorted[1:], axis=0)             # (N_PAYLOAD, cap)
     if segsum_pallas._MODE != "xla" and cap % segsum_pallas.TILE_L == 0:
         # Pallas masked-matmul ragged reduce (ops/segsum_pallas.py): no
         # prefix scan, no boundary gather. Invalid entries (gid n_orig)
         # sort past offsets[-1] and fall outside every segment, so no
         # explicit valid-mask is needed; offsets are clamped to cap to
-        # match the sort's truncation under overflow.
-        d16 = jnp.concatenate(
-            [d_exp, jnp.zeros((segsum_pallas.FEAT - N_PAYLOAD, cap),
-                              d_exp.dtype)], axis=0)
+        # match the sort's truncation under overflow. The sorted payloads
+        # land DIRECTLY at rows FEAT0..FEAT0+NFEAT of the kernel input, so
+        # the kernel's lane-major output IS d_table — no transpose, no
+        # zeros+set materialization. "split" mode goes further: the sort's
+        # R output arrays feed the kernel as separate HBM operands and the
+        # (16, cap) stack never exists.
         offs_c = jnp.minimum(offsets.astype(jnp.int32), cap)
-        d_rows = segsum_pallas.segment_sum(d16, offs_c,
-                                           interpret=interpret)[:N_PAYLOAD]
+        if (segsum_pallas._MODE == "split"
+                and cap % segsum_pallas.TILE_R == 0):
+            d_table = segsum_pallas.segment_sum_rows(
+                tuple(unsorted[1:]), offs_c, row0=expand_pallas.FEAT0,
+                interpret=interpret)
+        else:
+            zrow = jnp.zeros((cap,), d_feats16.dtype)
+            d16 = jnp.stack(
+                [zrow] * expand_pallas.FEAT0
+                + list(unsorted[1:])
+                + [zrow] * (segsum_pallas.FEAT - expand_pallas.FEAT0
+                            - N_PAYLOAD), axis=0)
+            d_table = segsum_pallas.segment_sum(d16, offs_c,
+                                                interpret=interpret)
+        assert d_table.shape == tshape
     else:
+        d_exp = jnp.stack(unsorted[1:], axis=0)         # (N_PAYLOAD, cap)
         valid = (jnp.arange(cap, dtype=jnp.int32) < num_isects)[None, :]
         d_exp = jnp.where(valid, d_exp, 0.0)
         cs = scan_utils.cumsum_rows(d_exp)
@@ -273,10 +295,10 @@ def _expand_sort_pallas_bwd(cap, ntx, n_tiles, n_orig, interpret, res, cots):
                              axis=1)
         seg = cs[:, offsets]                            # (C, N+1)
         d_rows = seg[:, 1:] - seg[:, :-1]               # (C, N)
-    n = d_rows.shape[1]
-    d_table = jnp.zeros(tshape, d_rows.dtype)
-    d_table = d_table.at[expand_pallas.FEAT0:
-                         expand_pallas.FEAT0 + N_PAYLOAD, :n].set(d_rows)
+        n = d_rows.shape[1]
+        d_table = jnp.zeros(tshape, d_rows.dtype)
+        d_table = d_table.at[expand_pallas.FEAT0:
+                             expand_pallas.FEAT0 + N_PAYLOAD, :n].set(d_rows)
     int_zero = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return d_table, int_zero(offsets), int_zero(num_isects)
 
@@ -373,7 +395,7 @@ def rasterize(
             ],
             axis=0,
         )
-        key_s, gid_s, feats_s = _expand_sort_pallas(
+        key_s, gid_s, feats16 = _expand_sort_pallas(
             table_T, exp.offsets, exp.num_isects, cap, ntx, n_tiles, n,
             cfg.interpret)
     else:
@@ -398,18 +420,19 @@ def rasterize(
                           table.dtype).at[0, 9].set(-30.0)
         table = jnp.concatenate([table, dummy])
         key_s, gid_s, feats_s = _expand_sort(table, exp, ntx, n_tiles)
+        # the sorted payload rows ARE the kernel feature layout, zero-padded
+        # to 16 sublanes (rasterize_pallas docstring); the pallas path
+        # already emits this layout from inside its custom VJP
+        feats16 = jnp.concatenate(
+            [feats_s, jnp.zeros((FEAT - N_PAYLOAD, cap), feats_s.dtype)],
+            axis=0)
     tile_s = binning.tiles_of_keys(sg(key_s), n_tiles)
     starts, counts = binning.tile_ranges(tile_s, sg(exp.num_isects), n_tiles,
                                          cap)
 
     if mean2d_sink is not None:
-        feats_s = jnp.concatenate(
-            [feats_s[0:2] + mean2d_sink.T, feats_s[2:]], axis=0)
+        feats16 = feats16.at[0:2].add(mean2d_sink.T)
 
-    # the sorted payload rows ARE the kernel feature layout, zero-padded to
-    # 16 sublanes (rasterize_pallas docstring)
-    feats16 = jnp.concatenate(
-        [feats_s, jnp.zeros((FEAT - N_PAYLOAD, cap), feats_s.dtype)], axis=0)
     out = _render_tiles(feats16, starts, counts, width, height,
                         cfg.interpret)
 

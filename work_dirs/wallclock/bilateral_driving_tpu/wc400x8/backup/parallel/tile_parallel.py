@@ -23,7 +23,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import binning, pipeline
 
@@ -35,6 +35,36 @@ def band_height(height: int, n_devices: int) -> int:
     nty = -(-height // binning.TILE)
     rows_per = -(-nty // n_devices)
     return rows_per * binning.TILE
+
+
+def make_hybrid_mesh(n_data: int, n_tile: int,
+                     data_axis: str = "data",
+                     tile_axis: str = "tile") -> Mesh:
+    """(data x tile) device mesh: each data row trains one image whose
+    rasterization is band-sharded over its tile row."""
+    import numpy as np
+
+    devs = jax.devices()
+    need = n_data * n_tile
+    if need > len(devs):
+        raise ValueError(
+            f"hybrid mesh {n_data}x{n_tile} needs {need} devices, have "
+            f"{len(devs)}")
+    return Mesh(np.asarray(devs[:need]).reshape(n_data, n_tile),
+                (data_axis, tile_axis))
+
+
+def shard_data_batch(stacked_batch, mesh: Mesh, data_axis: str = "data"):
+    """Place a stacked batch over `data_axis` of a hybrid mesh (leaves
+    whose leading dim matches the axis size shard; others replicate)."""
+    n = mesh.shape[data_axis]
+
+    def put(x):
+        spec = P(data_axis) if getattr(x, "ndim", 0) >= 1 \
+            and x.shape[0] == n else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, stacked_batch)
 
 
 def tile_sharded_rasterize(
