@@ -15,7 +15,8 @@ def uniform_sample_sphere(key: jax.Array, n: int, radius_min: float,
     """Uniformly sample points in a spherical shell [radius_min, radius_max)."""
     k_dir, k_r = jax.random.split(key)
     dirs = jax.random.normal(k_dir, (n, 3))
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+    dirs = dirs * jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-16))
     # uniform in volume: r ~ (u * (rmax^3 - rmin^3) + rmin^3)^(1/3)
     u = jax.random.uniform(k_r, (n, 1))
     r = (u * (radius_max ** 3 - radius_min ** 3) + radius_min ** 3) ** (1.0 / 3.0)

@@ -98,7 +98,11 @@ def eval_sh(
     Returns:
       (..., 3) raw SH colors (add 0.5 and clamp outside).
     """
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+    # grad-safe at dirs = 0 (a gaussian exactly at the camera origin:
+    # zero-range lidar returns create such points, and cam_origin is
+    # differentiable under camera opt) — see transforms.safe_normalize
+    dirs = dirs * jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-16))
     basis = eval_sh_bases(max_degree, dirs)  # (..., K)
     k = basis.shape[-1]
     base_degrees = jnp.array(

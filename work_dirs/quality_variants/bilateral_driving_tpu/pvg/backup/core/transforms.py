@@ -17,6 +17,29 @@ import jax.numpy as jnp
 _EPS = 1e-8
 
 
+def safe_norm(x: jax.Array, axis=-1, keepdims: bool = True,
+              eps: float = _EPS) -> jax.Array:
+    """L2 norm with a finite gradient at x = 0.
+
+    `jnp.maximum(jnp.linalg.norm(x), eps)` is forward-safe but BACKWARD-
+    UNSAFE: norm's own VJP is x/||x|| = 0/0 = NaN at the origin, and
+    maximum routes a ZERO cotangent into it — but 0 * NaN = NaN, which
+    then poisons every parameter upstream (round-5 finding: one PVG lidar
+    point exactly at a camera origin NaN'd the camera-opt translation via
+    the SH viewdir normalize, and from there the whole background).
+    Clamping the SQUARED norm before the sqrt keeps every intermediate
+    derivative finite; below eps the gradient is exactly 0."""
+    sq = jnp.maximum(jnp.sum(x * x, axis=axis, keepdims=keepdims),
+                     eps * eps)
+    return jnp.sqrt(sq)
+
+
+def safe_normalize(x: jax.Array, axis=-1, eps: float = _EPS) -> jax.Array:
+    """x / ||x|| with a finite gradient at x = 0 (see safe_norm)."""
+    sq = jnp.maximum(jnp.sum(x * x, axis=axis, keepdims=True), eps * eps)
+    return x * jax.lax.rsqrt(sq)
+
+
 def quat_normalize(q: jax.Array) -> jax.Array:
     """Normalize quaternions to unit norm, safely at 0 — including the
     backward pass (rsqrt of a clamped square-norm; `norm` would produce
@@ -117,9 +140,10 @@ def quat_slerp(q0: jax.Array, q1: jax.Array, t) -> jax.Array:
 
 
 def axis_angle_to_rotmat(aa: jax.Array) -> jax.Array:
-    """(..., 3) axis-angle -> (..., 3, 3) via Rodrigues, safe at theta=0."""
-    theta = jnp.linalg.norm(aa, axis=-1, keepdims=True)
-    axis = aa / jnp.maximum(theta, _EPS)
+    """(..., 3) axis-angle -> (..., 3, 3) via Rodrigues, safe at theta=0
+    in BOTH passes (canonical poses hit aa = 0 exactly; see safe_norm)."""
+    theta = safe_norm(aa)
+    axis = safe_normalize(aa)
     x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
     zero = jnp.zeros_like(x)
     K = jnp.stack(
@@ -131,8 +155,8 @@ def axis_angle_to_rotmat(aa: jax.Array) -> jax.Array:
 
 
 def axis_angle_to_quat(aa: jax.Array) -> jax.Array:
-    theta = jnp.linalg.norm(aa, axis=-1, keepdims=True)
-    axis = aa / jnp.maximum(theta, _EPS)
+    theta = safe_norm(aa)
+    axis = safe_normalize(aa)
     half = 0.5 * theta
     return jnp.concatenate([jnp.cos(half), jnp.sin(half) * axis], axis=-1)
 
@@ -141,9 +165,9 @@ def rotation_6d_to_matrix(d6: jax.Array) -> jax.Array:
     """Zhou et al. continuous 6D rotation -> matrix (reference:
     project/utils/geometry.py:83-100); rows are the basis vectors."""
     a1, a2 = d6[..., :3], d6[..., 3:]
-    b1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), _EPS)
+    b1 = safe_normalize(a1)
     b2 = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
-    b2 = b2 / jnp.maximum(jnp.linalg.norm(b2, axis=-1, keepdims=True), _EPS)
+    b2 = safe_normalize(b2)
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-2)
 

@@ -99,7 +99,8 @@ def sample_cubemap(base: jax.Array, dirs: jax.Array) -> jax.Array:
     seams; the difference is subpixel at R>=64)."""
     res = base.shape[1]
     c = base.shape[-1]
-    d = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
+    d = dirs * jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-18))
     face, u, v = _cube_faces_uv(d)
 
     pix_u = jnp.clip((u * 0.5 + 0.5) * res - 0.5, 0.0, res - 1)

@@ -69,8 +69,8 @@ def sample(base: jax.Array, dirs: jax.Array) -> jax.Array:
     caller or not (normalized internally). Pure-XLA, autodiff-friendly."""
     res = base.shape[1]
     c = base.shape[-1]
-    d = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),
-                           1e-9)
+    d = dirs * jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-18))
     face, u, v = faces_uv(d)
     u0, v0, wu, wv = _corner_coords(u, v, res)
     flat = base.reshape(6 * res * res, c)
@@ -274,8 +274,8 @@ def _fwd(base, dirs, interpret):
 def _bwd(interpret, res_data, gout):
     (shape, dirs) = res_data
     res = shape[1]
-    d = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),
-                           1e-9)
+    d = dirs * jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-18))
     face, u, v = faces_uv(d)
     u0, v0, fu, fv = _corner_coords(u, v, res)
 

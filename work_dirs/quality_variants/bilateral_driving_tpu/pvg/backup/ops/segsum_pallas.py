@@ -135,8 +135,17 @@ def _acc_tile_grouped(acc, x3, base, lo, hi):
     and membership in segment g is lo[g] <= pos < hi[g]. One MXU matmul
     (contraction 128) per sublane-group per bf16 limb — numerically
     identical to _acc_tile's decomposition (masks are exact 0/1 in bf16)."""
-    n_limbs = max(_LIMBS, 1)
     ci = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+    if _MODE == "highest":
+        for s in range(8):
+            pos = base + s * 128 + ci                   # (128, 1)
+            m = ((pos >= lo) & (pos < hi)).astype(jnp.float32)
+            acc[...] += jax.lax.dot_general(
+                x3[:, s, :], m, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        return
+    n_limbs = max(_LIMBS, 1)
     rem = x3
     limbs = []
     for _ in range(n_limbs):

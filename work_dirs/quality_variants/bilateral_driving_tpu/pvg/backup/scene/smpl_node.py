@@ -152,9 +152,10 @@ def knn_reg_loss(params, statics, nn_ind: jax.Array, frame, reg_cfg: dict,
 
     xo = reg_cfg.get("x_offset")
     if xo is not None and "on_mesh_x" in statics:
-        dx = jnp.linalg.norm(
-            (params["means"] - statics["on_mesh_x"]).reshape(num_inst, V, 3),
-            axis=-1)
+        # grad-safe at zero offset (means == on_mesh_x exactly at init)
+        dd = (params["means"] - statics["on_mesh_x"]).reshape(
+            num_inst, V, 3)
+        dx = jnp.sqrt(jnp.maximum(jnp.sum(dd * dd, axis=-1), 1e-16))
         losses["x_offset"] = (jnp.sum(jnp.mean(dx, axis=1) * valid)
                               / n_valid * xo["w"])
     return losses

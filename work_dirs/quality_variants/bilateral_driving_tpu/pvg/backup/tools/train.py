@@ -331,16 +331,26 @@ def main():
         if not pending:
             return
         vals = jax.device_get([
-            (m["loss"], m.get("isect_overflow", 0), m.get("num_isects", 0))
+            (m["loss"], m.get("isect_overflow", 0), m.get("num_isects", 0),
+             m.get("nonfinite_params", 0))
             for (_, _, m) in pending])
         window_overflow = 0.0
-        for (s, idxs_s, m), (lv, ov, ni) in zip(pending, vals):
+        for (s, idxs_s, m), (lv, ov, ni, nf) in zip(pending, vals):
             lv = float(lv)
             if not np.isfinite(lv):
                 raise RuntimeError(
                     f"non-finite loss at step {s} (detected <= "
                     f"{flush_every} steps later): "
                     f"{ {k: float(v) for k, v in jax.device_get(m).items()} }")
+            if float(nf) > 0:
+                # a loss-only guard misses poisoned params that cull
+                # everything and keep fitting sky with finite losses
+                # (round-5 PVG finding)
+                raise RuntimeError(
+                    f"{int(nf)} non-finite PARAMETER entries at step {s} "
+                    f"(loss still finite {lv:.4f} — likely a gradient "
+                    f"blowup whose renders are now empty); rerun with "
+                    f"smaller LRs or report the step's batch")
             for i in idxs_s:
                 sampler.update_error(int(i), max(lv, 1e-6))
             window_overflow = max(window_overflow, float(ov))

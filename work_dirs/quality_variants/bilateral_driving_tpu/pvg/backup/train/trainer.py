@@ -695,6 +695,15 @@ def apply_grads_and_refine(cfg: TrainerConfig, statics, state: TrainerState,
     # capacity-overflow drops during refinement: a capacity-starved run must
     # degrade loudly, like isect_overflow (VERDICT r2 weak #8)
     metrics["refine_dropped"] = refine_dropped.astype(jnp.float32)
+    # non-finite PARAMETER count: a loss-only NaN guard misses the failure
+    # mode where poisoned params cull everything and the run keeps fitting
+    # sky with finite losses (round-5 PVG finding — one bad gradient step
+    # NaN'd the background while `loss` stayed finite). Cheap: one fused
+    # elementwise+reduce over the param pytree per step.
+    metrics["nonfinite_params"] = sum(
+        jnp.sum(~jnp.isfinite(x), dtype=jnp.float32)
+        for x in jax.tree.leaves(params)
+        if jnp.issubdtype(x.dtype, jnp.floating))
     metrics.update({f"loss/{k}": v for k, v in loss_dict.items()})
     for name in gaussian_classes(cfg):
         metrics[f"num_points/{name}"] = jnp.sum(masks[name])
